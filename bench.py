@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Usage: python bench.py            # sf0.1, local[32] (env-overridable)
+       SPARK_GRAFT_CPUS=8 python bench.py   # scaling-efficiency runs
+
+Headline metrics (BASELINE.json): index-build docs/sec, BM25 top-k
+latency (brute force and Block-Max WAND). Per-query wall seconds go in
+"queries"; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from keywords4cv_spark.config import EngineConfig
+from keywords4cv_spark.index.build import build_index
+from keywords4cv_spark.query.bm25 import bm25_brute_force
+from keywords4cv_spark.query.wand import bm25_wand
+from keywords4cv_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="k4cv-bench", shuffle_partitions=cpus
+    )
+
+    from keywords4cv_spark.driver_queries import QUERIES
+
+    cfg = EngineConfig(
+        n_term_buckets=4,
+        skew_df_threshold=20_000 if sf >= 0.1 else 1_500,
+        n_salts=8,
+        shuffle_partitions=cpus,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs_total = docs.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- index build throughput ---
+    idx_dir = tempfile.mkdtemp(prefix="k4cv_bench_idx_")
+    t0 = time.perf_counter()
+    index = build_index(spark, docs, idx_dir, cfg, url_col="source")
+    timings["index_build"] = time.perf_counter() - t0
+    extras["index_docs_per_sec"] = n_docs_total / timings["index_build"]
+
+    # --- BM25 query latency (fixture query set) ---
+    t0 = time.perf_counter()
+    bm25_brute_force(spark, docs, cfg).count()
+    timings["bm25_brute_force"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bm25_wand(spark, index, cfg).count()
+    timings["bm25_wand"] = time.perf_counter() - t0
+
+    # --- remaining registry queries (skip the two already timed) ---
+    skip = {"bm25_topk", "bm25_wand_topk"}
+    for name in sorted(QUERIES):
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = time.perf_counter() - t0
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    out = {
+        "metric": "headline suite wall time (index build + BM25 top-k + operator queries)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs_total,
+        "index_docs_per_sec": round(extras["index_docs_per_sec"], 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""Relational brute-force BM25 top-k — the correctness oracle scorer.
+
+Pure DataFrame ops (no UDF anywhere): generalizes the reference's
+TF-IDF weighting kernel (/root/reference/keywords4cv.py:3200-3221)
+into BM25 with k1/b from config. Every expression is JVM-side, so the
+whole plan is whole-stage-codegen'd; the query-terms side is a
+broadcast join by construction (a handful of rows).
+
+Ranking determinism (SURVEY.md §7.4): raw float sums differ in the
+last ulp across partition orders, so ranks are assigned over
+``round(score, 6)`` with ``doc_id`` as tie-break — the same rule the
+DuckDB oracle and the BMW scorer use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.index.build import (
+    corpus_stats,
+    term_frequencies,
+    tokenized_docs,
+)
+from keywords4cv_spark.query.fixtures import TOP_K, query_term_pairs
+
+SCORE_DECIMALS = 6
+
+
+def bm25_score_col(cfg: EngineConfig) -> F.Column:
+    """Per-(term, doc) BM25 contribution from columns tf, dl, df, n_docs, avgdl."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    df_ = F.col("df").cast("double")
+    n = F.col("n_docs").cast("double")
+    idf = F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
+    tf_norm = (tf * F.lit(cfg.k1 + 1.0)) / (
+        tf + F.lit(cfg.k1) * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * dl / F.col("avgdl"))
+    )
+    return idf * tf_norm
+
+
+def rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(query_id, doc_id, score) → deterministic top-k with rank."""
+    rounded = F.round(F.col("score"), SCORE_DECIMALS)
+    w = Window.partitionBy("query_id").orderBy(rounded.desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("score", rounded)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_brute_force(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    queries: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """End-to-end BM25 top-k straight from the documents table.
+
+    Index-free scoring path: used as the rank-identity oracle for the
+    BMW scorer and as the flagship driver query.
+    """
+    toks = tokenized_docs(docs, cfg)
+    tf_df = term_frequencies(toks)
+    dict_df = tf_df.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(toks)
+
+    pairs = queries if queries is not None else query_term_pairs()
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+
+    # (query term ⋈ df) is vocabulary-row-count tiny → broadcast it into
+    # the big tf relation; stats is a 1-row broadcast.
+    qterms = qdf.join(dict_df, "term")
+    scored = (
+        tf_df.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", bm25_score_col(cfg))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return rank_topk(scored, k)

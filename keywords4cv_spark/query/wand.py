@@ -1,0 +1,247 @@
+"""Block-Max WAND top-k over the compressed posting index.
+
+The north-star operator (BASELINE.json north_rule): document-at-a-time
+top-k with two pruning levels —
+
+- WAND pivoting on per-list global max contribution, and
+- block-max skipping: the current block's upper bound refines the
+  global bound, and doc ranges whose block bounds can't beat the heap
+  threshold are jumped without decoding any payload.
+
+Spark shape: query terms ⋈ dictionary (broadcast) → postings filtered
+by term_id (file/bucket-pruned; at cluster scale the postings table is
+laid out by term bucket so only matching files are scanned) →
+``groupBy(query_id).applyInPandas(bmw)`` — one Arrow batch per query,
+numpy inside, final TakeOrderedAndProject via rank_topk.
+
+Salted head terms arrive as multiple segments (disjoint doc-id runs);
+each (term, segment) is an independent cursor with the same idf —
+WAND over a segmented index needs no merge pass, and scores are
+unaffected because a doc appears in exactly one segment per term.
+
+Rank-identity vs the brute-force scorer (and the DuckDB oracle): the
+final ordering everywhere is (round(score, 6) DESC, doc_id ASC). The
+heap uses exactly that key, and pruning keeps a 1e-6 margin below the
+k-th rounded score so a candidate that would tie after rounding (and
+win on doc_id) is never skipped.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.index.build import IndexTables
+from keywords4cv_spark.index.codec import bm25_contrib, decode_block
+from keywords4cv_spark.query.bm25 import SCORE_DECIMALS, rank_topk
+from keywords4cv_spark.query.fixtures import TOP_K, query_term_pairs
+
+# prune margin: half-ulp of round(.,6) plus float-noise headroom
+MARGIN = 10.0 ** (-SCORE_DECIMALS) + 1e-9
+EXHAUSTED = np.iinfo(np.int64).max
+
+
+class _Cursor:
+    """One posting run (term, segment): block-level skips, lazy decode."""
+
+    __slots__ = (
+        "idf", "k1", "b", "avgdl", "first", "last", "maxs", "payloads", "ns",
+        "nblocks", "bi", "docs", "tfs", "dls", "cur_doc", "decoded_pos",
+        "global_ub",
+    )
+
+    def __init__(self, idf, k1, b, avgdl, first, last, maxs, payloads, ns):
+        order = np.argsort(first, kind="stable")
+        self.idf, self.k1, self.b, self.avgdl = idf, k1, b, avgdl
+        self.first, self.last, self.maxs = first[order], last[order], maxs[order]
+        self.payloads = [payloads[i] for i in order]
+        self.ns = ns[order]
+        self.nblocks = len(self.payloads)
+        self.bi = 0
+        self.docs = self.tfs = self.dls = None
+        self.decoded_pos = -1
+        self.global_ub = float(self.maxs.max()) if self.nblocks else 0.0
+        self.cur_doc = int(self.first[0]) if self.nblocks else EXHAUSTED
+
+    def exhausted(self) -> bool:
+        return self.cur_doc == EXHAUSTED
+
+    def block_ub(self) -> float:
+        return float(self.maxs[self.bi]) if self.bi < self.nblocks else 0.0
+
+    def block_last(self) -> int:
+        return int(self.last[self.bi]) if self.bi < self.nblocks else EXHAUSTED
+
+    def _enter_block(self, bi: int):
+        self.bi = bi
+        self.docs = self.tfs = self.dls = None
+        self.decoded_pos = -1
+
+    def _decode(self):
+        if self.docs is None:
+            self.docs, self.tfs, self.dls = decode_block(
+                self.payloads[self.bi], int(self.ns[self.bi]), int(self.first[self.bi])
+            )
+
+    def next_geq(self, target: int):
+        """Advance to the first posting with doc >= target.
+
+        Whole-block skips never decode; only landing inside a block
+        decodes its payload. cur_doc may be a *shallow* bound (the
+        block's first_doc) when the block hasn't been entered yet —
+        that is exact, since first_doc is a real posting.
+        """
+        if self.cur_doc >= target:
+            return
+        bi = self.bi
+        while bi < self.nblocks and self.last[bi] < target:
+            bi += 1
+        if bi != self.bi:
+            self._enter_block(bi)
+        if bi >= self.nblocks:
+            self.cur_doc = EXHAUSTED
+            return
+        if target <= self.first[bi]:
+            self.cur_doc = int(self.first[bi])
+            return
+        self._decode()
+        idx = int(np.searchsorted(self.docs, target, side="left"))
+        # last[bi] >= target guarantees idx is in range
+        self.decoded_pos = idx
+        self.cur_doc = int(self.docs[idx])
+
+    def score_current(self) -> float:
+        """Exact BM25 contribution at cur_doc (decodes current block)."""
+        self._decode()
+        if self.decoded_pos < 0 or self.docs[self.decoded_pos] != self.cur_doc:
+            self.decoded_pos = int(np.searchsorted(self.docs, self.cur_doc, side="left"))
+        i = self.decoded_pos
+        return float(
+            bm25_contrib(
+                self.tfs[i : i + 1], self.dls[i : i + 1],
+                self.idf, self.k1, self.b, self.avgdl,
+            )[0]
+        )
+
+    def advance(self):
+        self.next_geq(self.cur_doc + 1)
+
+
+def _bmw_one_query(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Block-Max WAND → [(doc_id, exact_score)] of the top-k candidates.
+
+    Heap key is (round(score, 6), -doc_id) — the exact final ordering —
+    so the returned set IS the deterministic top-k.
+    """
+    heap: list[tuple[float, int]] = []
+
+    def threshold() -> float:
+        return heap[0][0] - MARGIN if len(heap) >= k else -np.inf
+
+    live = sorted((c for c in cursors if not c.exhausted()), key=lambda c: c.cur_doc)
+    while live:
+        theta = threshold()
+        # --- WAND pivot over global upper bounds ---
+        acc = 0.0
+        pivot_doc = -1
+        for c in live:
+            acc += c.global_ub
+            if acc > theta:
+                pivot_doc = c.cur_doc
+                break
+        if pivot_doc < 0:
+            break  # even all lists together can't beat the threshold
+
+        # --- align every list that could contain the pivot ---
+        # (includes lists tied on cur_doc beyond the pivot index — omitting
+        # them undercounts the bound and wrongly skips docs)
+        for c in live:
+            if c.cur_doc < pivot_doc:
+                c.next_geq(pivot_doc)
+        holders = [c for c in live if c.cur_doc == pivot_doc]
+        if holders:
+            # block-max refinement: exact current-block bounds at the pivot
+            block_acc = sum(c.block_ub() for c in holders)
+            if block_acc > theta:
+                score = sum(c.score_current() for c in holders)
+                item = (round(score, SCORE_DECIMALS), -pivot_doc, score)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item[:2] > heap[0][:2]:
+                    heapq.heapreplace(heap, item)
+                for c in holders:
+                    c.advance()
+            else:
+                # these blocks can't beat the threshold for ANY doc they
+                # cover: jump to the nearest block boundary, clamped by the
+                # first unaccounted list's cursor
+                boundary = min(c.block_last() for c in holders) + 1
+                others = [c.cur_doc for c in live if c.cur_doc > pivot_doc]
+                nxt = min(others) if others else EXHAUSTED
+                target = max(pivot_doc + 1, min(boundary, nxt))
+                for c in holders:
+                    c.next_geq(target)
+        live = sorted((c for c in live if not c.exhausted()), key=lambda c: c.cur_doc)
+    return [(-nd, exact) for _, nd, exact in heap]
+
+
+def bm25_wand(
+    spark: SparkSession,
+    index: IndexTables,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    queries: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """BM25 top-k via Block-Max WAND; rank-identical to bm25_brute_force."""
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    pairs = queries if queries is not None else query_term_pairs()
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    srow = index.stats.collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    k1, b = cfg.k1, cfg.b
+
+    qterms = qdf.join(index.dictionary, "term").select("query_id", "term_id", "df")
+    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    if not term_ids:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+
+    blocks = index.postings.filter(F.col("term_id").isin(term_ids)).join(
+        F.broadcast(qterms), "term_id"
+    )
+
+    def bmw(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = []
+        for (_, _), g in pdf.groupby(["term_id", "segment"], sort=True):
+            df_val = int(g["df"].iloc[0])
+            idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
+            cursors.append(
+                _Cursor(
+                    idf, k1, b, avgdl,
+                    g["first_doc"].to_numpy(np.int64),
+                    g["last_doc"].to_numpy(np.int64),
+                    g["max_score"].to_numpy(np.float64),
+                    list(g["payload"]),
+                    g["n"].to_numpy(np.int64),
+                )
+            )
+        hits = _bmw_one_query(cursors, k)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([qid] * len(hits), dtype="int64"),
+                "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+                "score": pd.Series([s for _, s in hits], dtype="float64"),
+            }
+        )
+
+    scored = blocks.groupBy("query_id").applyInPandas(
+        bmw, "query_id long, doc_id long, score double"
+    )
+    return rank_topk(scored, k)

@@ -1,0 +1,167 @@
+"""Index build + BM25 rank-identity + checkpoint/resume (SURVEY.md §5.2 c,e)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.config import EngineConfig
+from keywords4cv_spark.index.build import build_index, load_index
+from keywords4cv_spark.query.bm25 import bm25_brute_force
+from keywords4cv_spark.query.fixtures import QUERY_SET, query_terms
+from keywords4cv_spark.query.wand import bm25_wand
+from keywords4cv_spark.textprep.normalize import tokenize
+
+CFG = EngineConfig(n_term_buckets=2, shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    return build_index(spark, docs, d, CFG, url_col="source")
+
+
+def python_bm25_oracle(rows, k1=1.2, b=0.75):
+    """Brute-force BM25 in pure Python over (doc_id, text) rows."""
+    toks = {d: tokenize(t) for d, t in rows}
+    dls = {d: len(ts) for d, ts in toks.items()}
+    n = len(toks)
+    avgdl = sum(dls.values()) / n
+    df: dict[str, int] = {}
+    tf: dict[tuple[int, str], int] = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+        for t in ts:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    out = {}
+    for qid, q in QUERY_SET:
+        scores: dict[int, float] = {}
+        for term in query_terms(q):
+            if term not in df:
+                continue
+            idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            for d in toks:
+                f_ = tf.get((d, term))
+                if not f_:
+                    continue
+                s = idf * (f_ * (k1 + 1)) / (f_ + k1 * (1 - b + b * dls[d] / avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+        ranked = sorted(
+            ((round(s, 6), -d) for d, s in scores.items()), reverse=True
+        )[:10]
+        out[qid] = [(i + 1, -nd, s) for i, (s, nd) in enumerate(ranked)]
+    return out
+
+
+def _collect(df):
+    return {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in df.collect()
+    }
+
+
+def test_brute_force_matches_python_oracle(spark, docs):
+    rows = [(r.doc_id, r.text) for r in docs.filter(F.col("lang") == "en").collect()]
+    oracle = python_bm25_oracle(rows)
+    got = _collect(bm25_brute_force(spark, docs, CFG))
+    want = {
+        (qid, rank): (doc, pytest.approx(score, abs=1e-6))
+        for qid, hits in oracle.items()
+        for rank, doc, score in hits
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == want[key][1], key
+
+
+def test_index_tables_sane(index):
+    dict_rows = index.dictionary.count()
+    assert dict_rows > 0
+    # term_ids dense 1..V and unique
+    agg = index.dictionary.agg(
+        F.min("term_id"), F.max("term_id"), F.countDistinct("term_id")
+    ).collect()[0]
+    assert agg[0] == 1 and agg[1] == dict_rows and agg[2] == dict_rows
+    # postings cover exactly cf occurrences: sum(n) per term == df
+    per_term = index.postings.groupBy("term_id").agg(F.sum("n").alias("n"))
+    joined = per_term.join(index.dictionary, "term_id").filter(
+        F.col("n") != F.col("df")
+    )
+    assert joined.count() == 0
+    # lineage complete for all buckets
+    assert index.lineage.filter(F.col("status") == "complete").count() == CFG.n_term_buckets
+
+
+def test_wand_rank_identical_to_brute_force(spark, docs, index):
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    wand = _collect(bm25_wand(spark, index, CFG))
+    assert set(brute) == set(wand)
+    for key in brute:
+        assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
+        assert abs(brute[key][1] - wand[key][1]) < 1e-9, key
+
+
+def test_wand_many_random_queries(spark, docs, index):
+    """Randomized single+multi term queries: WAND == brute force on all."""
+    rng = np.random.default_rng(7)
+    vocab = [r.term for r in index.dictionary.select("term").collect()]
+    queries = []
+    for qid in range(30):
+        n_terms = int(rng.integers(1, 5))
+        terms = rng.choice(vocab, size=n_terms, replace=False)
+        queries.append((qid, " ".join(terms)))
+    pairs = [(qid, t) for qid, q in queries for t in dict.fromkeys(q.split())]
+    brute = _collect(bm25_brute_force(spark, docs, CFG, queries=pairs))
+    wand = _collect(bm25_wand(spark, index, CFG, queries=pairs))
+    assert brute.keys() == wand.keys()
+    for key in brute:
+        assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
+
+
+def test_salted_index_rank_identical(spark, docs, tmp_path):
+    """Zipf skew path: force salting of head terms; WAND must still be
+    rank-identical and segments must actually exist (SURVEY.md §4.2.1)."""
+    cfg = EngineConfig(
+        n_term_buckets=2, shuffle_partitions=8, skew_df_threshold=20, n_salts=4
+    )
+    idx = build_index(spark, docs, str(tmp_path / "salted"), cfg, url_col="source")
+    n_segments = (
+        idx.postings.select("term_id", "segment").distinct()
+        .groupBy("term_id").count().filter(F.col("count") > 1).count()
+    )
+    assert n_segments > 0, "salting never triggered — test is vacuous"
+    brute = _collect(bm25_brute_force(spark, docs, cfg))
+    wand = _collect(bm25_wand(spark, idx, cfg))
+    assert set(brute) == set(wand)
+    for key in brute:
+        assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
+
+
+def test_resume_skips_completed_buckets(spark, docs, tmp_path):
+    """Kill-and-resume: delete one bucket's lineage, rebuild, identical index."""
+    d1, d2 = str(tmp_path / "full"), str(tmp_path / "resumed")
+    full = build_index(spark, docs, d1, CFG, url_col="source")
+    # simulate a crash after bucket 0: build, then drop bucket 1 artifacts
+    build_index(spark, docs, d2, CFG, url_col="source")
+    kept = spark.read.parquet(f"{d2}/_lineage").filter(F.col("bucket") == 0).collect()
+    schema = spark.read.parquet(f"{d2}/_lineage").schema
+    shutil.rmtree(f"{d2}/_lineage")
+    shutil.rmtree(f"{d2}/postings/bucket=1")
+    spark.createDataFrame(kept, schema).write.mode("overwrite").parquet(f"{d2}/_lineage")
+    resumed = build_index(spark, docs, d2, CFG, resume=True, url_col="source")
+    # bucket 0 was not rebuilt (one lineage row), bucket 1 was
+    assert resumed.lineage.count() == CFG.n_term_buckets
+    a = full.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
+    b = resumed.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
