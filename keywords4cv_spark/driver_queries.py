@@ -229,3 +229,237 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# reference-parity scoring operators (J2/O2, P9, O3, A2/A3, J3, P11)
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark import vocab  # noqa: E402
+from keywords4cv_spark.operators import relational, scoring  # noqa: E402
+
+_SCORED_CTES = f"""
+{_TF_CTES},
+{vocab.skills_values_cte()},
+{vocab.negative_values_cte()},
+src AS (SELECT doc_id, source FROM documents WHERE lang = 'en'),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+           * (t.tf * ({CFG.k1} + 1.0))
+           / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl))
+           * (CASE WHEN t.term IN (SELECT skill FROM skills)
+                   THEN {vocab.WHITELIST_BOOST} ELSE 1.0 END)
+           * ({vocab.field_weights_case_sql("src.source")}) AS score
+  FROM tfs t
+  JOIN dict USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  JOIN src ON src.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term NOT IN (SELECT word FROM negative)
+)
+"""
+
+
+@register(
+    "keyword_summary",
+    f"""WITH {_SCORED_CTES}
+SELECT term, round(sum(score), 6) AS total_score,
+       round(avg(score), 6) AS avg_score,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS job_count
+FROM scored GROUP BY term""",
+)
+def q_keyword_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.keyword_summary(spark, _docs(spark, sf_dir), CFG)
+
+
+@register(
+    "fuzzy_resolve",
+    f"""
+WITH d AS ({_EN_TOKS}),
+terms AS (SELECT DISTINCT unnest(toks) AS term FROM d),
+probes(probe) AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in vocab.FUZZY_PROBES)}) v),
+cand AS (
+  SELECT probe, term, levenshtein(probe, term) AS distance
+  FROM probes, terms
+  WHERE abs(length(term) - length(probe)) <= 2
+),
+best AS (
+  SELECT probe, term, CAST(distance AS INTEGER) AS distance,
+         row_number() OVER (PARTITION BY probe ORDER BY distance, term) AS rn
+  FROM cand WHERE distance <= 2
+)
+SELECT probe, term, distance FROM best WHERE rn = 1""",
+)
+def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.fuzzy_resolve(spark, _docs(spark, sf_dir), cfg=CFG)
+
+
+@register(
+    "abbrev_expanded_counts",
+    f"""
+WITH d AS ({_EN_TOKS}),
+{vocab.abbrev_values_cte()},
+terms AS (SELECT doc_id, unnest(toks) AS term FROM d)
+SELECT coalesce(a.expansion, t.term) AS term, CAST(count(*) AS BIGINT) AS n
+FROM terms t LEFT JOIN abbrev a ON t.term = a.abbrev
+GROUP BY coalesce(a.expansion, t.term)""",
+)
+def q_abbrev_expanded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scoring.expand_abbreviations(spark, _docs(spark, sf_dir), CFG)
+
+
+@register(
+    "whitelist_hits",
+    f"""
+WITH d AS ({_EN_TOKS}),
+{vocab.skills_values_cte()},
+terms AS (SELECT doc_id, unnest(toks) AS term FROM d)
+SELECT t.term, CAST(count(*) AS BIGINT) AS cf,
+       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df
+FROM terms t
+WHERE t.term IN (SELECT skill FROM skills)
+GROUP BY t.term""",
+)
+def q_whitelist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast left-semi join of corpus terms vs the whitelist."""
+    from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
+
+    toks = tokenized_docs(_docs(spark, sf_dir), CFG)
+    tf_df = term_frequencies(toks)
+    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
+    return (
+        tf_df.join(
+            F.broadcast(skills.select(F.col("skill").alias("term")).distinct()),
+            "term",
+            "left_semi",
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / window / event operators on the TPC-H-ish driver tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(spark, sf_dir)
+
+
+@register(
+    "customer_revenue",
+    """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 4) AS revenue,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+)
+def q_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_revenue(spark, sf_dir)
+
+
+@register(
+    "top_orders_per_customer",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INTEGER) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ranked WHERE rn <= 2""",
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_customer(spark, sf_dir)
+
+
+@register(
+    "customers_without_big_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+)""",
+)
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_big_orders(spark, sf_dir)
+
+
+@register(
+    "events_tumbling",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY date_trunc('hour', ts), event_type""",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_tumbling(spark, sf_dir)
+
+
+@register(
+    "events_sessionized",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(epoch(ts) AS BIGINT)
+           - lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 6) AS session_value
+FROM sess GROUP BY user_id, session_id""",
+)
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_sessionized(spark, sf_dir)
+
+
+@register(
+    "running_user_totals",
+    """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS running_value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq
+FROM events""",
+)
+def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.running_user_totals(spark, sf_dir)

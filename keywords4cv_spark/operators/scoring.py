@@ -1,0 +1,158 @@
+"""Reference-parity scoring operators (SURVEY.md §2.4/§2.5/§2.9).
+
+The reference scores (keyword, doc) pairs then aggregates per keyword
+(/root/reference/keywords4cv.py:3190-3221 scoring; :2139-2143 +
+:2986-3031 aggregation). Here the base score is the BM25 contribution
+(the O1 generalization), with:
+
+- O2 whitelist boost ×1.6 via broadcast semi-join flag
+  (keywords4cv.py:3207-3212)
+- P9 negative-keyword removal via broadcast anti-join
+  (keywords4cv.py:1180-1187)
+- O3 per-field weight (section_weights analog, keywords4cv.py:3214-3221)
+- A2/A3 summary: Total_Score / Avg_Score / Job_Count with the CORRECT
+  distinct-count semantics (the reference double-counts — SURVEY.md §8)
+- J3 fuzzy resolution: best vocabulary match by edit distance
+  (bk_tree_enhancement.py:27-70) as a length-banded broadcast join +
+  F.levenshtein + min_by window — no BK-tree object needed at this
+  vocabulary size; the banding keeps the candidate set sub-linear
+- P11 abbreviation expansion via broadcast map lookup
+  (keyword_canonicalizer.py:141-165)
+
+All joins here are broadcast by construction (vocabulary-sized right
+sides), so the only shuffles are the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keywords4cv_spark import vocab
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.index.build import (
+    corpus_stats,
+    term_frequencies,
+    tokenized_docs,
+)
+from keywords4cv_spark.query.bm25 import bm25_score_col
+
+
+def scored_postings(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, term, tf, dl, score) with boost/weights applied.
+
+    The reference's per-(keyword, doc) detail relation
+    (keywords4cv.py:3190-3198) re-expressed: BM25 contribution × O2
+    whitelist boost × O3 field weight, minus P9 negative keywords.
+    """
+    toks = tokenized_docs(docs, cfg)
+    tf_df = term_frequencies(toks)
+    dict_df = tf_df.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(toks)
+
+    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
+    negative = spark.createDataFrame(
+        [(w,) for w in vocab.NEGATIVE_KEYWORDS], "word string"
+    )
+    fields = spark.createDataFrame(
+        vocab.FIELD_WEIGHTS, "source string, weight double"
+    )
+
+    src = docs.select(F.col("doc_id"), F.col("source"))
+
+    base = (
+        tf_df.join(F.broadcast(negative), tf_df.term == negative.word, "left_anti")
+        .join(dict_df, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("base_score", bm25_score_col(cfg))
+    )
+    boosted = base.join(
+        F.broadcast(skills.select(F.col("skill").alias("term")).distinct()
+                    .withColumn("in_whitelist", F.lit(True))),
+        "term",
+        "left",
+    ).withColumn("in_whitelist", F.coalesce("in_whitelist", F.lit(False)))
+    weighted = (
+        boosted.join(src, "doc_id")
+        .join(F.broadcast(fields), "source", "left")
+        .withColumn("weight", F.coalesce("weight", F.lit(vocab.DEFAULT_FIELD_WEIGHT)))
+    )
+    return weighted.select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        "in_whitelist",
+        (
+            F.col("base_score")
+            * F.when(F.col("in_whitelist"), F.lit(vocab.WHITELIST_BOOST)).otherwise(1.0)
+            * F.col("weight")
+        ).alias("score"),
+    )
+
+
+def keyword_summary(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """A2/A3: per-term Total_Score / Avg_Score / Job_Count."""
+    sp = scored_postings(spark, docs, cfg)
+    return sp.groupBy("term").agg(
+        F.round(F.sum("score"), 6).alias("total_score"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.countDistinct("doc_id").alias("job_count"),
+    )
+
+
+def fuzzy_resolve(
+    spark: SparkSession,
+    docs: DataFrame,
+    probes: list[str] | None = None,
+    max_distance: int = 2,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """J3/W1/T2: best vocabulary match per probe by Levenshtein.
+
+    Length banding (|len(a)-len(b)| <= d) prunes the candidate pairs
+    before the distance computation — the relational stand-in for the
+    reference's BK-tree (bk_tree_enhancement.py:27-70). Ties break on
+    the lexicographically smallest match (deterministic, vs the
+    reference's dict-order dependence, SURVEY.md §7.4).
+    """
+    probes = probes if probes is not None else vocab.FUZZY_PROBES
+    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    terms = (
+        tokenized_docs(docs, cfg)
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+    )
+    cand = terms.join(
+        F.broadcast(pdf),
+        F.abs(F.length("term") - F.length("probe")) <= max_distance,
+    ).withColumn("distance", F.levenshtein("probe", "term"))
+    best = cand.filter(F.col("distance") <= max_distance)
+    w = Window.partitionBy("probe").orderBy("distance", "term")
+    return (
+        best.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe", "term", F.col("distance").cast("int").alias("distance"))
+    )
+
+
+def expand_abbreviations(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """P11/P12: per-term counts after abbreviation expansion."""
+    abbrev = spark.createDataFrame(
+        vocab.ABBREVIATIONS, "abbrev string, expansion string"
+    )
+    toks = tokenized_docs(docs, cfg)
+    terms = toks.select("doc_id", F.explode("tokens").alias("term"))
+    expanded = terms.join(
+        F.broadcast(abbrev), terms.term == abbrev.abbrev, "left"
+    ).select(
+        "doc_id", F.coalesce("expansion", "term").alias("term")
+    )
+    return expanded.groupBy("term").agg(F.count("*").alias("n"))
