@@ -463,3 +463,306 @@ FROM events""",
 )
 def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.running_user_totals(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: deduplication (exact / MinHash-LSH / SimHash /
+# Jaccard) and embedding similarity (brute cosine / LSH buckets)
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.oracle import norm_sql  # noqa: E402
+from keywords4cv_spark.operators import dedup, similarity  # noqa: E402
+
+_SHINGLE_CTES = f"""
+d AS ({_EN_TOKS}),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+  FROM d WHERE len(toks) >= 3
+),
+bands AS (
+  SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+         list_aggregate(
+           list_transform(shingles, s -> md5(CAST(b.band AS VARCHAR) || ':' || s)),
+           'min') AS minhash
+  FROM sh, (SELECT unnest(range({dedup.N_BANDS})) AS band) b
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT md5({norm_sql("text")}) AS content_hash,
+       min(doc_id) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_band_minima",
+    f"WITH {_SHINGLE_CTES} SELECT doc_id, band, minhash FROM bands",
+)
+def q_minhash_band_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_band_minima(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+WITH {_SHINGLE_CTES}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id""",
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "jaccard_verified_pairs",
+    f"""
+WITH {_SHINGLE_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(toks) AS tokset FROM d),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(sa.tokset, sb.tokset)) AS DOUBLE)
+               / (len(sa.tokset) + len(sb.tokset)
+                  - len(list_intersect(sa.tokset, sb.tokset))), 6) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {dedup.JACCARD_THRESHOLD}""",
+)
+def q_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_verified_pairs(_docs(spark, sf_dir), CFG)
+
+
+def _simhash_oracle() -> str:
+    hi = "('8','9','a','b','c','d','e','f')"
+    sums = ",\n  ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) IN {hi} THEN tf ELSE -tf END) AS s{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH {_TF_CTES},
+h AS (SELECT doc_id, term, tf, md5(term) AS h FROM tfs),
+agg AS (SELECT doc_id,
+  {sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM agg"""
+
+
+@register("simhash16", _simhash_oracle())
+def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_docs(spark, sf_dir), CFG)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_PROBE_IDS = [0, 1, 2, 3, 4]
+
+_COS_SQL = """round(
+  list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)"""
+
+
+@register(
+    "cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM e
+      WHERE vec_id IN ({", ".join(map(str, _PROBE_IDS))})),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="p.probe_emb")} AS cosine
+  FROM e, p WHERE e.vec_id != p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT probe_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(spark, _emb(spark, sf_dir), _PROBE_IDS, k=5)
+
+
+def _lsh_bucket_sql(n_planes: int) -> str:
+    projs = []
+    for j in range(n_planes):
+        proj = (
+            "list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN (31 * (i - 1) + {17 * j}) % 2 = 0 THEN 1.0 ELSE -1.0 END)))"
+        )
+        projs.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(projs)
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+SELECT vec_id, CAST({_lsh_bucket_sql(similarity.N_PLANES)} AS INTEGER) AS bucket
+FROM embeddings""",
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_buckets(_emb(spark, sf_dir))
+
+
+@register(
+    "lsh_near_dup_pairs",
+    f"""
+WITH b AS (
+  SELECT vec_id, CAST({_lsh_bucket_sql(4)} AS INTEGER) AS bucket, embedding
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         {_COS_SQL.format(a="a.embedding", b="c.embedding")} AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3""",
+)
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.operators import multimodal, textstats  # noqa: E402
+
+_ALL_TOKS = (
+    "SELECT doc_id, {toks} AS toks FROM documents"
+).format(toks=tokens_sql("text"))
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(textstats.LANG_MARKERS)
+    hit_cols = ",\n  ".join(
+        "len(list_filter(toks, t -> t IN ({m}))) AS hits_{lang}".format(
+            m=", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    greatest = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    whens = "\n    ".join(
+        f"WHEN hits_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH d AS ({_ALL_TOKS}),
+hits AS (SELECT doc_id,
+  {hit_cols}
+FROM d)
+SELECT doc_id,
+  CASE WHEN {greatest} = 0 THEN 'und'
+    {whens}
+  END AS pred_lang
+FROM hits"""
+
+
+@register("lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _quality_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in textstats.STOPWORD_SET)
+    w = textstats.QUALITY_WEIGHTS
+    return f"""
+WITH d AS ({_EN_TOKS}),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_filter(toks, t -> t IN ({stops}))) AS DOUBLE)
+               / len(toks), 6) AS stop_ratio,
+         round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / len(toks), 6) AS mean_token_len
+  FROM d WHERE len(toks) > 0
+)
+SELECT doc_id, n_tokens, stop_ratio, mean_token_len,
+       round({w["len"]} * least(n_tokens / 100.0, 1.0)
+             + {w["stop"]} * least(stop_ratio * 5.0, 1.0)
+             + {w["alpha"]} * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM f"""
+
+
+@register("quality_scores", _quality_oracle())
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "token_stats",
+    f"""
+WITH d AS ({_EN_TOKS})
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(
+         toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_pieces
+FROM d""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+WITH d AS ({_EN_TOKS})
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+FROM d""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
+FROM documents""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.payload_metadata(_docs(spark, sf_dir))
+
+
+@register("byte_histogram")  # no SQL oracle: verified by pytest vs numpy
+def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.byte_histogram(_docs(spark, sf_dir))
+
+
+from keywords4cv_spark.operators import canonicalize  # noqa: E402
+
+
+@register("canonical_clusters")  # non-SQL (iterative DBSCAN): pytest-verified
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: LSH-bucketed embedding DBSCAN canonicalization (rows-only check;
+    exactness vs a local numpy oracle is pinned in tests/test_operators.py)."""
+    return canonicalize.canonical_clusters(_emb(spark, sf_dir))

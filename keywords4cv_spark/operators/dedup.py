@@ -1,0 +1,156 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a `queries()` entry with a DuckDB oracle:
+
+- exact: content-hash groupBy (normalized text → md5)
+- MinHash + LSH: shingle → per-band min-hash → band-bucket self-join.
+  The min-hash here is the lexicographic min of md5(band:shingle) —
+  string-min is engine-portable (Spark, DuckDB, Python agree on byte
+  order of lowercase hex), which is what makes the oracle exact.
+- SimHash: 16-bit signature from per-term md5 nibbles weighted by tf
+- n-gram Jaccard: exact token-set similarity verification over the
+  LSH candidate pairs (the classic candidate→verify two-phase)
+
+Scale notes: exact/minhash/simhash are single-shuffle groupBys keyed
+by doc; the LSH self-join shuffles on (band, minhash) whose
+cardinality is bounded by doc count × n_bands — the whole point of
+banding is that the all-pairs O(n²) never materializes. Pair
+verification touches only candidate pairs.
+
+Reference lineage: the reference dedups keyword *variants* via
+embedding DBSCAN (keyword_canonicalizer.py:233-326) and token-overlap
+subsumption (:167-231); document-level dedup is the web-scale
+generalization of the same candidate→verify shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.index.build import tokenized_docs
+from keywords4cv_spark.textprep.spark_exprs import normalized_col
+
+N_BANDS = 8
+SHINGLE_W = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(content_hash, rep_doc_id, n_docs) over md5 of normalized text."""
+    return (
+        docs.select(
+            F.col("doc_id"), F.md5(normalized_col(F.col("text"))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def _shingles_col(tokens: Column, w: int = SHINGLE_W) -> Column:
+    """w-token shingle strings (contiguous); [] if fewer than w tokens."""
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(tokens, i, w))
+
+    return F.when(
+        F.size(tokens) >= w,
+        F.transform(F.sequence(F.lit(1), F.size(tokens) - (w - 1)), shingle_at),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_band_minima(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, band, minhash): per-band lexicographic-min md5 of shingles.
+
+    Computed with array expressions (transform + array_min) — no row
+    explosion, no UDF; one narrow pass over documents.
+    """
+    toks = tokenized_docs(docs, cfg).withColumn(
+        "shingles", _shingles_col(F.col("tokens"))
+    ).filter(F.size("shingles") > 0)
+
+    def band_min(b: int) -> Column:
+        # single-arg lambda via closure factory: a `lambda s, b=b:` default
+        # arg would flip PySpark into its (element, index) 2-arity form
+        prefix = f"{b}:"
+
+        def hasher(s: Column) -> Column:
+            return F.md5(F.concat(F.lit(prefix), s))
+
+        return F.array_min(F.transform(F.col("shingles"), hasher)).alias("minhash")
+
+    bands = [
+        F.struct(F.lit(b).cast("int").alias("band"), band_min(b)) for b in range(N_BANDS)
+    ]
+    return toks.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bm")
+    ).select("doc_id", F.col("bm.band").alias("band"), F.col("bm.minhash").alias("minhash"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_a, doc_b) sharing at least one band bucket, doc_a < doc_b."""
+    bm = minhash_band_minima(docs, cfg)
+    a = bm.alias("a")
+    b = bm.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """LSH candidates verified by exact distinct-token Jaccard ≥ threshold."""
+    cand = lsh_candidate_pairs(docs, cfg)
+    sets = tokenized_docs(docs, cfg).select(
+        "doc_id", F.array_distinct("tokens").alias("tokset")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = (F.size("set_a") + F.size("set_b") - F.size(F.array_intersect("set_a", "set_b"))).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over term md5 nibbles × tf.
+
+    Bit i is set iff Σ_terms tf · sign(nibble_i(md5(term))) > 0, where
+    sign is +1 for hex digits 8..f. One exploded groupBy with 16
+    conditional sums — pure codegen'd aggregation.
+    """
+    toks = tokenized_docs(docs, cfg)
+    terms = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    hi = tuple("89abcdef")
+    sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*hi), F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    agg = terms.groupBy("doc_id").agg(*sums)
+    sim = None
+    for i in range(16):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("int").alias("simhash"))

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline — probe vectors are
+  broadcast against the embeddings table; the dot product is a
+  zip_with + aggregate column expression (JVM-side, no UDF, identical
+  left-to-right float64 summation order to the DuckDB oracle).
+- LSH bucketing (sign-random-projection): the scale path — each
+  vector gets a compact bucket id from sign bits of projections onto
+  deterministic ±1 hyperplanes; candidate generation is then an
+  equi-join on bucket instead of the O(n²) cross product.
+  Hyperplane sign s(j, i) = +1 iff (31·i + 17·j) mod 2 = 0 — chosen
+  to be expressible identically in Spark, DuckDB and Python (this is
+  a plumbing-grade projection, not a statistically tuned one; swap
+  the sign function for a seeded Rademacher matrix in production).
+- cosine near-dup pairs: candidate pairs (same bucket) verified by
+  exact cosine ≥ threshold — embedding-space dedup
+  (reference analog: keyword_canonicalizer.py:233-326 DBSCAN dedup).
+
+Reference lineage: cosine_similarity scalar (keywords4cv.py:703-714),
+semantic categorization argmax (:1068-1090).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Float64 dot product in array index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbours of each probe vector (brute force).
+
+    Probes are a broadcast side; ranking uses round(cos, 6) DESC with
+    vec_id tie-break (the engine-wide determinism rule).
+    """
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = pairs.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine_col(F.col("embedding"), F.col("probe_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+def plane_sign(j: int, i: int) -> int:
+    """Deterministic ±1 hyperplane component (engine-portable)."""
+    return 1 if (31 * i + 17 * j) % 2 == 0 else -1
+
+
+def _projection_col(emb: Column, j: int) -> Column:
+    signed = F.transform(
+        emb,
+        lambda x, i: x.cast("double")
+        * F.when((F.lit(31) * i + F.lit(17 * j)) % 2 == 0, 1.0).otherwise(-1.0),
+    )
+    return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection bucket id."""
+    bucket = None
+    for j in range(n_planes):
+        bit = F.when(_projection_col(F.col("embedding"), j) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.3, n_planes: int = 4
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): same-bucket candidates verified exactly.
+
+    Fewer planes → coarser buckets → higher recall (and more
+    verification work); n_planes trades the two. The verify join
+    touches only same-bucket pairs — never the full cross product.
+    """
+    b = lsh_buckets(emb, n_planes)
+    withb = emb.join(b, "vec_id")
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    c = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,155 @@
+"""Operator-level unit tests (dedup, similarity, multimodal, canonicalize)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.operators import canonicalize, dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_duplicates_finds_injected_dup(spark):
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "The  quick BROWN fox!", "en"),  # same after normalization
+        (3, "something else entirely", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.rep_doc_id: r.n_docs for r in dedup.exact_duplicates(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_detect_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en"),
+        (2, base + " iota", "en"),  # near dup
+        (3, "totally different words here now okay fine", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_verified_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_close_for_similar_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(1, base, "en"), (2, base + " iota", "en"), (3, "xx yy zz ww vv uu tt ss", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_byte_histogram_matches_numpy(spark, docs):
+    got = {r.doc_id: [r[f"bin{i}"] for i in range(8)] for r in
+           multimodal.byte_histogram(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        arr = np.frombuffer(r.text.encode(), dtype=np.uint8)
+        want = np.bincount(arr >> 5, minlength=8)[:8].tolist()
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_payload_metadata_md5(spark, docs):
+    got = {r.doc_id: (r.n_bytes, r.payload_md5) for r in
+           multimodal.payload_metadata(docs).collect()}
+    for r in docs.select("doc_id", "text").limit(20).collect():
+        raw = r.text.encode()
+        assert got[r.doc_id] == (len(raw), hashlib.md5(raw).hexdigest())
+
+
+def test_decode_image_stub_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_sample_frames_deterministic():
+    payload = bytes(range(256)) * 20
+    a = multimodal.sample_frames(payload)
+    assert a == multimodal.sample_frames(payload)
+    assert all(len(f) <= 16 for f in a) and len(a) == 5
+
+
+def test_dbscan_numpy_basic():
+    pts = np.array(
+        [[1, 0], [0.999, 0.01], [0.998, 0.02], [0, 1], [0.01, 0.999], [-1, 0.1]]
+    )
+    labels = canonicalize.dbscan_numpy(pts, eps=0.05, min_samples=2)
+    assert labels[0] == labels[1] == labels[2] != -1
+    assert labels[3] == labels[4] != -1
+    assert labels[5] == -1
+    assert labels[0] != labels[3]
+
+
+def test_canonical_clusters_spark_vs_local(spark):
+    """Bucketed Spark DBSCAN == local numpy DBSCAN run per bucket."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(5, 16))
+    vecs, rows = [], []
+    for i in range(60):
+        c = centers[i % 5]
+        v = c + rng.normal(scale=0.01, size=16)
+        rows.append((i, v.astype(np.float32).tolist()))
+        vecs.append(v)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = canonicalize.canonical_clusters(df, eps=0.05, min_samples=2, n_planes=2)
+    got = {r.vec_id: (r.bucket, r.rep_vec_id) for r in out.collect()}
+    assert len(got) == 60
+    # local oracle: same bucketing + same dbscan per bucket
+    buckets = {}
+    for i, v in enumerate(vecs):
+        b = 0
+        for j in range(2):
+            proj = sum(
+                float(np.float32(v[k])) * similarity.plane_sign(j, k)
+                for k in range(16)
+            )
+            if proj > 0:
+                b |= 1 << j
+        buckets.setdefault(b, []).append(i)
+    for b, ids in buckets.items():
+        ids = sorted(ids)
+        labels = canonicalize.dbscan_numpy(
+            np.array([np.asarray(rows[i][1], dtype=np.float64) for i in ids]),
+            0.05,
+            2,
+        )
+        reps: dict[int, int] = {}
+        for i, lab in zip(ids, labels):
+            if lab >= 0:
+                reps.setdefault(lab, i)
+        for i, lab in zip(ids, labels):
+            want_rep = i if lab < 0 else reps[lab]
+            assert got[i] == (b, want_rep), (i, got[i], (b, want_rep))
+
+
+def test_lsh_buckets_match_plane_sign(spark, emb):
+    got = {r.vec_id: r.bucket for r in similarity.lsh_buckets(emb).limit(0).collect()}
+    # full check on a sample
+    sample = emb.limit(30).collect()
+    got = {
+        r.vec_id: r.bucket
+        for r in similarity.lsh_buckets(spark.createDataFrame(sample)).collect()
+    }
+    for r in sample:
+        b = 0
+        for j in range(similarity.N_PLANES):
+            proj = sum(
+                float(x) * similarity.plane_sign(j, i) for i, x in enumerate(r.embedding)
+            )
+            if proj > 0:
+                b |= 1 << j
+        assert got[r.vec_id] == b, r.vec_id
