@@ -766,3 +766,170 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: LSH-bucketed embedding DBSCAN canonicalization (rows-only check;
     exactness vs a local numpy oracle is pinned in tests/test_operators.py)."""
     return canonicalize.canonical_clusters(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary expansion + evaluation metrics + input_hint synthetic-corpus ops
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.operators import evaluation, expansion, sections  # noqa: E402
+from keywords4cv_spark.sources.corpus import ensure_synth_parquet  # noqa: E402
+
+
+def _syn_values_cte() -> str:
+    rows = ", ".join(f"('{t}', '{s}')" for t, s in expansion.SYNONYMS)
+    return f"syn(term, synonym) AS (SELECT * FROM (VALUES {rows}) v)"
+
+
+@register(
+    "synonym_expanded_counts",
+    f"""
+WITH d AS ({_EN_TOKS}),
+{_syn_values_cte()},
+terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
+expanded AS (
+  SELECT term AS out_term FROM terms
+  UNION ALL
+  SELECT s.synonym AS out_term FROM terms t JOIN syn s ON t.term = s.term
+)
+SELECT out_term AS term, CAST(count(*) AS BIGINT) AS n
+FROM expanded GROUP BY out_term""",
+)
+def q_synonym_expanded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return expansion.synonym_expanded_counts(spark, _docs(spark, sf_dir), CFG)
+
+
+@register(
+    "surviving_bigrams",
+    f"""
+WITH d AS ({_EN_TOKS}),
+bi AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+),
+tri AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS trigram
+  FROM d WHERE len(toks) >= 3
+),
+bt AS (SELECT bigram, list_distinct(string_split(bigram, ' ')) AS btoks FROM bi),
+tt AS (SELECT trigram, list_distinct(string_split(trigram, ' ')) AS ttoks FROM tri),
+subsumed AS (
+  SELECT DISTINCT b.bigram
+  FROM bt b JOIN tt t ON len(list_intersect(b.btoks, t.ttoks))
+                         >= ceil({expansion.SUBSUME_OVERLAP} * len(b.btoks))
+)
+SELECT bigram FROM bi WHERE bigram NOT IN (SELECT bigram FROM subsumed)""",
+)
+def q_surviving_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return expansion.surviving_bigrams(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "extraction_metrics",
+    f"""
+WITH d AS ({_EN_TOKS}),
+{vocab.skills_values_cte()},
+extracted AS (SELECT DISTINCT unnest(toks) AS term FROM d),
+sk AS (SELECT DISTINCT skill AS term FROM skills),
+c AS (
+  SELECT CAST((SELECT count(*) FROM extracted) AS BIGINT) AS n_extracted,
+         CAST((SELECT count(*) FROM sk) AS BIGINT) AS n_skills,
+         CAST((SELECT count(*) FROM extracted e JOIN sk USING (term)) AS BIGINT) AS n_hit
+)
+SELECT n_extracted, n_skills, n_hit,
+       round(CAST(n_hit AS DOUBLE) / n_extracted, 6) AS precision,
+       round(CAST(n_hit AS DOUBLE) / n_skills, 6) AS recall,
+       round(2.0 * (CAST(n_hit AS DOUBLE) / n_extracted) * (CAST(n_hit AS DOUBLE) / n_skills)
+             / ((CAST(n_hit AS DOUBLE) / n_extracted) + (CAST(n_hit AS DOUBLE) / n_skills)), 6) AS f1
+FROM c""",
+)
+def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.extraction_metrics(spark, _docs(spark, sf_dir), CFG)
+
+
+@register(
+    "map_whitelist",
+    f"""
+WITH {_TF_CTES},
+{vocab.skills_values_cte()},
+sk AS (SELECT DISTINCT skill AS term FROM skills),
+ranked AS (
+  SELECT dict.term,
+         CASE WHEN sk.term IS NOT NULL THEN 1 ELSE 0 END AS is_skill,
+         row_number() OVER (ORDER BY dict.cf DESC, dict.term) AS pos,
+         sum(CASE WHEN sk.term IS NOT NULL THEN 1 ELSE 0 END) OVER (
+           ORDER BY dict.cf DESC, dict.term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+  FROM dict LEFT JOIN sk ON dict.term = sk.term
+)
+SELECT round(avg(CAST(hits AS DOUBLE) / pos), 6) AS average_precision,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM ranked WHERE is_skill = 1""",
+)
+def q_map_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evaluation.mean_average_precision(spark, _docs(spark, sf_dir), CFG)
+
+
+# --- input_hint synthetic corpus (url/warc_ts/html/text/lang): the oracle
+# --- reads the SAME materialized parquet by absolute path ------------------
+
+_SYNTH_PATH = os.path.join(tempfile.gettempdir(), "k4cv_synth_oracle")
+_SYNTH_N = 2000
+_SYNTH_SEED = 7
+
+# materialize at import (Spark-free, idempotent): the DuckDB oracle may
+# run before any Spark query touches the corpus
+ensure_synth_parquet(_SYNTH_PATH, _SYNTH_N, seed=_SYNTH_SEED)
+
+
+def _synth(spark: SparkSession) -> DataFrame:
+    # Spark-free materialization: the DuckDB oracle reads the same file,
+    # and must succeed even if it runs before the Spark side
+    ensure_synth_parquet(_SYNTH_PATH, _SYNTH_N, seed=_SYNTH_SEED)
+    return spark.read.parquet(_SYNTH_PATH)
+
+
+@register(
+    "extract_text_md5",
+    f"""
+SELECT doc_id, url, md5(text) AS text_md5
+FROM '{_SYNTH_PATH}/*.parquet'""",
+)
+def q_extract_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant as an oracle check: md5(extract_text(html))
+    must equal md5 of the stored ground-truth text, per url."""
+    from keywords4cv_spark.textprep.udfs import make_extract_text_udf
+
+    d = _synth(spark)
+    return d.select(
+        "doc_id", "url", F.md5(make_extract_text_udf()(F.col("html"))).alias("text_md5")
+    )
+
+
+def _section_weight_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{n}' THEN {w}" for n, w in sorted(sections.SECTION_WEIGHTS.items())
+    )
+    return f"CASE {whens} ELSE {sections.DEFAULT_WEIGHT} END"
+
+
+@register(
+    "section_stats",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(text, '{sections.HEAD_PATTERN}', 1) = ''
+              THEN 'general'
+              ELSE regexp_extract(text, '{sections.HEAD_PATTERN}', 1) END AS section,
+         len({tokens_sql("text")}) AS n_tokens
+  FROM '{_SYNTH_PATH}/*.parquet'
+)
+SELECT section, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {_section_weight_sql("section")} AS section_weight
+FROM d GROUP BY section""",
+)
+def q_section_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sections.section_stats(_synth(spark))

@@ -193,7 +193,7 @@ def build_index(
         ).parquet(f"{index_dir}/stats")
 
     # --- postings per term bucket, with lineage + resume ---
-    done = _completed_buckets(spark, index_dir) if resume else set()
+    done = _committed_buckets(index_dir, cfg.n_term_buckets) if resume else set()
     posted = (
         tf_df.join(dictionary.select("term", "term_id", "df"), "term")
         .withColumn(
@@ -207,6 +207,7 @@ def build_index(
     )
     encoder = _make_encoder(cfg, n_docs, avgdl)
     todo = [b for b in range(cfg.n_term_buckets) if b not in done]
+    hashes: dict[int, int] = {}
     if todo:
         posted = posted.persist()
         # order-independent content fingerprint per bucket, one job for all
@@ -218,38 +219,64 @@ def build_index(
             .agg(F.expr("bit_xor(xxhash64(term_id, doc_id, tf))").alias("h"))
             .collect()
         }
+    times: dict[int, tuple[float, float]] = {}
     for bucket in todo:
         started = time.time()
         part = posted.filter(F.col("bucket") == bucket)
-        input_hash = hashes.get(bucket, 0)
         blocks = (
             part.repartition(cfg.shuffle_partitions, "term_id", "segment")
             .groupBy("term_id", "segment")
             .applyInPandas(encoder, POSTINGS_SCHEMA)
         )
+        # the parquet _SUCCESS marker of this bucket dir IS the atomic
+        # per-partition commit (Iceberg-snapshot analog); resume keys on it
         blocks.write.mode("overwrite").parquet(f"{index_dir}/postings/bucket={bucket}")
-        bstats = spark.read.parquet(f"{index_dir}/postings/bucket={bucket}").agg(
-            F.coalesce(F.sum("n"), F.lit(0)).alias("rows"),
-            F.count("*").alias("n_blocks"),
-            F.countDistinct("term_id").alias("n_terms"),
-            F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("payload_bytes"),
-        ).collect()[0]
-        lineage_row = pd.DataFrame(
+        times[bucket] = (started, time.time())
+
+    # a crash between a bucket's parquet commit and the lineage append
+    # leaves a committed bucket without a lineage row — recover it here
+    recovered = sorted(
+        (_committed_buckets(index_dir, cfg.n_term_buckets) - set(todo))
+        - _lineage_buckets(spark, index_dir)
+    )
+    for b in recovered:
+        times[b] = (0.0, time.time())
+    todo = todo + recovered
+
+    if todo:
+        # per-bucket lineage metrics in ONE job over the written files
+        # (one read-back agg instead of 2 driver round-trips per bucket —
+        # the serial fraction is what caps scaling efficiency)
+        bstats = {
+            int(r["bucket"]): r
+            for r in spark.read.option("basePath", f"{index_dir}/postings")
+            .parquet(*[f"{index_dir}/postings/bucket={b}" for b in todo])
+            .groupBy("bucket")
+            .agg(
+                F.coalesce(F.sum("n"), F.lit(0)).alias("rows"),
+                F.count("*").alias("n_blocks"),
+                F.countDistinct("term_id").alias("n_terms"),
+                F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("payload_bytes"),
+            )
+            .collect()
+        }
+        lineage_rows = pd.DataFrame(
             [
                 {
-                    "bucket": bucket,
+                    "bucket": b,
                     "status": "complete",
-                    "rows": int(bstats["rows"]),
-                    "n_blocks": int(bstats["n_blocks"]),
-                    "n_terms": int(bstats["n_terms"]),
-                    "payload_bytes": int(bstats["payload_bytes"]),
-                    "input_hash": int(input_hash),
-                    "started_ts": started,
-                    "finished_ts": time.time(),
+                    "rows": int(bstats[b]["rows"]) if b in bstats else 0,
+                    "n_blocks": int(bstats[b]["n_blocks"]) if b in bstats else 0,
+                    "n_terms": int(bstats[b]["n_terms"]) if b in bstats else 0,
+                    "payload_bytes": int(bstats[b]["payload_bytes"]) if b in bstats else 0,
+                    "input_hash": int(hashes.get(b, 0)),
+                    "started_ts": times[b][0],
+                    "finished_ts": times[b][1],
                 }
+                for b in todo
             ]
         )
-        spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(f"{index_dir}/_lineage")
 
@@ -265,18 +292,23 @@ def _complete(index_dir: str, table: str) -> bool:
     return os.path.exists(os.path.join(index_dir, table, "_SUCCESS"))
 
 
-def _completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
+def _committed_buckets(index_dir: str, n_buckets: int) -> set[int]:
+    """Buckets whose parquet dir carries the atomic _SUCCESS commit marker."""
+    return {
+        b
+        for b in range(n_buckets)
+        if os.path.exists(os.path.join(index_dir, "postings", f"bucket={b}", "_SUCCESS"))
+    }
+
+
+def _lineage_buckets(spark: SparkSession, index_dir: str) -> set[int]:
     path = f"{index_dir}/_lineage"
     if not os.path.exists(path):
         return set()
-    rows = (
-        spark.read.parquet(path)
-        .filter(F.col("status") == "complete")
-        .select("bucket")
-        .distinct()
-        .collect()
-    )
-    return {r["bucket"] for r in rows}
+    return {
+        r["bucket"]
+        for r in spark.read.parquet(path).select("bucket").distinct().collect()
+    }
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:

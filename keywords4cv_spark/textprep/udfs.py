@@ -59,7 +59,7 @@ def make_extract_text_udf():
     import re
 
     drop_re = re.compile(
-        r"<(script|style|nav|header|footer)\b[^>]*>.*?</\1\s*>",
+        r"<(script|style|head|nav|header|footer)\b[^>]*>.*?</\1\s*>",
         re.DOTALL | re.IGNORECASE,
     )
     tag_re = re.compile(r"<[^>]+>")

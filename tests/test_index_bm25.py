@@ -149,19 +149,19 @@ def test_salted_index_rank_identical(spark, docs, tmp_path):
 
 
 def test_resume_skips_completed_buckets(spark, docs, tmp_path):
-    """Kill-and-resume: delete one bucket's lineage, rebuild, identical index."""
+    """Kill-and-resume: a crash mid-loop leaves some buckets committed
+    (parquet _SUCCESS) and no lineage yet; resume must rebuild only the
+    uncommitted bucket and recover lineage for the committed one."""
     d1, d2 = str(tmp_path / "full"), str(tmp_path / "resumed")
     full = build_index(spark, docs, d1, CFG, url_col="source")
-    # simulate a crash after bucket 0: build, then drop bucket 1 artifacts
     build_index(spark, docs, d2, CFG, url_col="source")
-    kept = spark.read.parquet(f"{d2}/_lineage").filter(F.col("bucket") == 0).collect()
-    schema = spark.read.parquet(f"{d2}/_lineage").schema
-    shutil.rmtree(f"{d2}/_lineage")
-    shutil.rmtree(f"{d2}/postings/bucket=1")
-    spark.createDataFrame(kept, schema).write.mode("overwrite").parquet(f"{d2}/_lineage")
+    shutil.rmtree(f"{d2}/postings/bucket=1")  # bucket 1 never committed
+    shutil.rmtree(f"{d2}/_lineage")  # crash before the lineage append
     resumed = build_index(spark, docs, d2, CFG, resume=True, url_col="source")
-    # bucket 0 was not rebuilt (one lineage row), bucket 1 was
-    assert resumed.lineage.count() == CFG.n_term_buckets
+    lineage_buckets = sorted(
+        r["bucket"] for r in resumed.lineage.select("bucket").distinct().collect()
+    )
+    assert lineage_buckets == list(range(CFG.n_term_buckets))
     a = full.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
     b = resumed.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

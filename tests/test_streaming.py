@@ -1,0 +1,66 @@
+"""Structured Streaming: windowed term counts + staged incremental postings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.config import EngineConfig
+from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
+from keywords4cv_spark.sources.corpus import synth_documents
+from keywords4cv_spark.streaming.incremental import (
+    stage_postings_stream,
+    staged_term_frequencies,
+    windowed_term_counts,
+)
+
+CFG = EngineConfig()
+
+
+def _write_stream_input(spark, tmp_path, n=300):
+    path = str(tmp_path / "stream_in")
+    synth_documents(spark, n, seed=11).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return path, schema
+
+
+def test_windowed_term_counts_match_batch(spark, tmp_path):
+    path, schema = _write_stream_input(spark, tmp_path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        windowed_term_counts(stream, window="1 hour", watermark="0 seconds", cfg=CFG)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wtc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.term): r.n for r in spark.sql("SELECT * FROM wtc").collect()
+    }
+    batch = spark.read.parquet(path)
+    toks = tokenized_docs(batch, CFG)
+    want = {
+        (r.ws, r.term): r.n
+        for r in toks.select(
+            F.date_trunc("hour", "warc_ts").alias("ws"), F.explode("terms").alias("term")
+        )
+        .groupBy("ws", "term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_staged_postings_equal_batch_tf(spark, tmp_path):
+    path, schema = _write_stream_input(spark, tmp_path)
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    q = stage_postings_stream(stream, staging, ckpt, CFG)
+    q.awaitTermination(120)
+    got = staged_term_frequencies(spark, staging)
+    want = term_frequencies(tokenized_docs(spark.read.parquet(path), CFG))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
