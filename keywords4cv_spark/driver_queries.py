@@ -933,3 +933,103 @@ FROM d GROUP BY section""",
 )
 def q_section_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sections.section_stats(_synth(spark))
+
+
+# ---------------------------------------------------------------------------
+# boolean / phrase retrieval (postings-intersection family)
+# ---------------------------------------------------------------------------
+
+_AND_QUERIES: list[tuple[int, str]] = [
+    (0, "merge join"),
+    (1, "the data"),
+    (2, "spark zzznope"),  # one absent term → empty result
+    (3, "hash table scan"),
+]
+
+
+def _and_pairs() -> list[tuple[int, str]]:
+    from keywords4cv_spark.query.fixtures import query_terms
+
+    return [(qid, t) for qid, q in _AND_QUERIES for t in query_terms(q)]
+
+
+def _and_values() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in _and_pairs())
+    return (
+        "q(query_id, term) AS "
+        f"(SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES {rows}) v(c0, c1))"
+    )
+
+
+@register(
+    "boolean_and_query",
+    f"""
+WITH {_TF_CTES},
+{_and_values()},
+nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM q GROUP BY query_id),
+hits AS (
+  SELECT q.query_id, t.doc_id, count(*) AS n_hit
+  FROM q JOIN tfs t USING (term)
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT h.query_id, h.doc_id
+FROM hits h JOIN nq USING (query_id)
+WHERE h.n_hit = nq.n_terms""",
+)
+def q_boolean_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: docs containing EVERY query term —
+    the postings-intersection expressed as a count-match groupBy
+    (each list is hit once per distinct (doc, term))."""
+    from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
+
+    tf_df = term_frequencies(tokenized_docs(_docs(spark, sf_dir), CFG))
+    qdf = spark.createDataFrame(_and_pairs(), "query_id long, term string")
+    nq = qdf.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    hits = (
+        tf_df.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+
+
+_PHRASES = ["merge join", "the data", "table scan"]
+
+
+@register(
+    "phrase_query",
+    f"""
+WITH d AS ({_EN_TOKS}),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+),
+p(phrase) AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _PHRASES)}) v)
+SELECT p.phrase, b.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM p JOIN big b ON b.bigram = p.phrase
+GROUP BY p.phrase, b.doc_id""",
+)
+def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-term phrase retrieval via adjacent-position match (the
+    positional-postings special case expressible with a lead window)."""
+    from keywords4cv_spark.index.build import tokenized_docs
+
+    toks = tokenized_docs(_docs(spark, sf_dir), CFG)
+    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        pos.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "nxt").alias("bigram"))
+    )
+    pdf = spark.createDataFrame([(p,) for p in _PHRASES], "phrase string")
+    return (
+        big.join(F.broadcast(pdf), big.bigram == pdf.phrase)
+        .groupBy("phrase", "doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
