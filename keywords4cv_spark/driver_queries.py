@@ -1033,3 +1033,89 @@ def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "doc_id")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# sanitation (P3), categorization (J5), centroids (A5)
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.operators import categorize  # noqa: E402
+
+
+@register(
+    "sanitize_docs",
+    f"""
+SELECT doc_id, text, lang FROM documents
+WHERE text IS NOT NULL AND length(trim(text)) > 0
+  AND length(text) >= {categorize.MIN_TEXT_LEN}""",
+)
+def q_sanitize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return categorize.sanitize_docs(_docs(spark, sf_dir), policy="strict")
+
+
+@register(
+    "categorize_terms",
+    f"""
+WITH {_TF_CTES},
+{vocab.skills_values_cte()},
+agg AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tfs GROUP BY term)
+SELECT a.term, coalesce(s.category, 'Uncategorized') AS category, a.df
+FROM agg a LEFT JOIN skills s ON a.term = s.skill""",
+)
+def q_categorize_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return categorize.categorize_terms(spark, _docs(spark, sf_dir), CFG)
+
+
+_DIMS_CTE = """
+dims AS (
+  SELECT label, t.i AS i, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, t.i
+)"""
+
+
+@register(
+    "label_centroids",
+    f"""
+WITH {_DIMS_CTE},
+cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label)
+SELECT d.label, any_value(cnt.n) AS n,
+       round(sqrt(sum(d.m * d.m)), 6) AS centroid_norm,
+       round(max(CASE WHEN d.i = 1 THEN d.m END), 6) AS c0
+FROM dims d JOIN cnt USING (label)
+GROUP BY d.label""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 centroids, scalarized (norm + first component) so the
+    comparator sees plain doubles instead of array columns."""
+    from keywords4cv_spark.operators.similarity import norm_col
+
+    c = categorize.label_centroids(_emb(spark, sf_dir))
+    return c.select(
+        "label",
+        "n",
+        F.round(norm_col(F.col("centroid")), 6).alias("centroid_norm"),
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+    )
+
+
+@register(
+    "assign_to_centroids",
+    f"""
+WITH {_DIMS_CTE},
+cents AS (SELECT label, list(m ORDER BY i) AS centroid FROM dims GROUP BY label),
+scored AS (
+  SELECT e.vec_id, c.label,
+         {_COS_SQL.format(a="e.embedding", b="c.centroid")} AS cosine
+  FROM embeddings e, cents c
+),
+ranked AS (
+  SELECT vec_id, label, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, label) AS rn
+  FROM scored
+)
+SELECT vec_id, label AS assigned_label, cosine FROM ranked WHERE rn = 1""",
+)
+def q_assign_to_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return categorize.assign_to_centroids(emb, categorize.label_centroids(emb))

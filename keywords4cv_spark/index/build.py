@@ -188,9 +188,9 @@ def build_index(
     if not _complete(index_dir, "dictionary"):
         dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
         docmeta.write.mode("overwrite").parquet(f"{index_dir}/docmeta")
-        stats.withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/stats")
+        stats.withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
+            "n_term_buckets", F.lit(cfg.n_term_buckets)
+        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
 
     # --- postings per term bucket, with lineage + resume ---
     done = _committed_buckets(index_dir, cfg.n_term_buckets) if resume else set()
@@ -229,8 +229,12 @@ def build_index(
             .applyInPandas(encoder, POSTINGS_SCHEMA)
         )
         # the parquet _SUCCESS marker of this bucket dir IS the atomic
-        # per-partition commit (Iceberg-snapshot analog); resume keys on it
-        blocks.write.mode("overwrite").parquet(f"{index_dir}/postings/bucket={bucket}")
+        # per-partition commit (Iceberg-snapshot analog); resume keys on it.
+        # sortWithinPartitions gives each file tight term_id min/max stats →
+        # query-time rowgroup pruning on top of the bucket-dir pruning
+        blocks.sortWithinPartitions("term_id", "segment", "block_id").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/postings/bucket={bucket}")
         times[bucket] = (started, time.time())
 
     # a crash between a bucket's parquet commit and the lineage append

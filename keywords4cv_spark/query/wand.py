@@ -212,7 +212,14 @@ def bm25_wand(
     if not term_ids:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
 
-    blocks = index.postings.filter(F.col("term_id").isin(term_ids)).join(
+    scan = index.postings
+    if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
+        # bucket is the Hive-partition column of the postings layout →
+        # this predicate prunes whole directories before any file is read
+        nb = int(srow["n_term_buckets"])
+        buckets = sorted({tid % nb for tid in term_ids})
+        scan = scan.filter(F.col("bucket").isin(buckets))
+    blocks = scan.filter(F.col("term_id").isin(term_ids)).join(
         F.broadcast(qterms), "term_id"
     )
 
