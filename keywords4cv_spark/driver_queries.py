@@ -803,16 +803,20 @@ def q_synonym_expanded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surviving_bigrams",
     f"""
 WITH d AS ({_EN_TOKS}),
-bi AS (
-  SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+bi_all AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
   FROM d WHERE len(toks) >= 2
 ),
-tri AS (
-  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),
+bi AS (SELECT bigram FROM bi_all GROUP BY bigram
+       HAVING count(*) >= {expansion.MIN_NGRAM_FREQ}),
+tri_all AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS trigram
   FROM d WHERE len(toks) >= 3
 ),
+tri AS (SELECT trigram FROM tri_all GROUP BY trigram
+        HAVING count(*) >= {expansion.MIN_NGRAM_FREQ}),
 bt AS (SELECT bigram, list_distinct(string_split(bigram, ' ')) AS btoks FROM bi),
 tt AS (SELECT trigram, list_distinct(string_split(trigram, ' ')) AS ttoks FROM tri),
 subsumed AS (

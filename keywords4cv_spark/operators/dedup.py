@@ -25,7 +25,7 @@ generalization of the same candidate→verify shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
@@ -48,43 +48,45 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles_col(tokens: Column, w: int = SHINGLE_W) -> Column:
-    """w-token shingle strings (contiguous); [] if fewer than w tokens."""
-    def shingle_at(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(tokens, i, w))
-
-    return F.when(
-        F.size(tokens) >= w,
-        F.transform(F.sequence(F.lit(1), F.size(tokens) - (w - 1)), shingle_at),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def minhash_band_minima(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(doc_id, band, minhash): per-band lexicographic-min md5 of shingles.
 
-    Computed with array expressions (transform + array_min) — no row
-    explosion, no UDF; one narrow pass over documents.
+    Shingles are generated with posexplode + lead windows (the HOF
+    slice/transform path interprets per element and is ~10× slower at
+    corpus scale); the N_BANDS minima are N_BANDS min() aggregates in
+    ONE groupBy pass, then unpivoted — every md5 stays JVM-native.
     """
-    toks = tokenized_docs(docs, cfg).withColumn(
-        "shingles", _shingles_col(F.col("tokens"))
-    ).filter(F.size("shingles") > 0)
+    from pyspark.sql.window import Window
 
-    def band_min(b: int) -> Column:
-        # single-arg lambda via closure factory: a `lambda s, b=b:` default
-        # arg would flip PySpark into its (element, index) 2-arity form
-        prefix = f"{b}:"
-
-        def hasher(s: Column) -> Column:
-            return F.md5(F.concat(F.lit(prefix), s))
-
-        return F.array_min(F.transform(F.col("shingles"), hasher)).alias("minhash")
-
-    bands = [
-        F.struct(F.lit(b).cast("int").alias("band"), band_min(b)) for b in range(N_BANDS)
-    ]
-    return toks.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bm")
-    ).select("doc_id", F.col("bm.band").alias("band"), F.col("bm.minhash").alias("minhash"))
+    pos = tokenized_docs(docs, cfg).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        pos.select(
+            "doc_id",
+            F.col("t"),
+            F.lead("t", 1).over(w).alias("t1"),
+            F.lead("t", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("shingle"))
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"m{b}")
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band"), F.col(f"m{b}").alias("minhash"))
+            for b in range(N_BANDS)
+        ]
+    )
+    return mins.select("doc_id", F.explode(bands).alias("bm")).select(
+        "doc_id", F.col("bm.band").alias("band"), F.col("bm.minhash").alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -6,8 +6,9 @@
   executor-I/O anti-pattern and stays out of the engine, SURVEY.md §2.1)
 - U4 n-gram subsumption: drop a shorter n-gram when its token set is
   contained (overlap ratio ≥ threshold) in a longer kept n-gram
-  (/root/reference/keyword_canonicalizer.py:167-231). Vocabulary-level
-  self-join seeded on the first token to avoid the all-pairs product.
+  (/root/reference/keyword_canonicalizer.py:167-231). The candidate
+  join is an exact equi-join on sorted token-subset keys — skew-proof
+  (a first-token seed join would fan out on Zipf head tokens).
 """
 
 from __future__ import annotations
@@ -17,7 +18,6 @@ from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
 from keywords4cv_spark.index.build import tokenized_docs
-from keywords4cv_spark.textprep.spark_exprs import ngrams_col
 
 SYNONYMS: list[tuple[str, str]] = [
     ("spark", "pyspark"),
@@ -27,6 +27,10 @@ SYNONYMS: list[tuple[str, str]] = [
 ]
 
 SUBSUME_OVERLAP = 0.8
+# n-grams are keyword CANDIDATES (the reference subsumes extracted
+# keywords, not the raw n-gram space); min corpus frequency keeps the
+# vocabulary-level semantics and bounds both join sides
+MIN_NGRAM_FREQ = 5
 
 
 def synonym_expanded_counts(
@@ -50,27 +54,70 @@ def surviving_bigrams(
 ) -> DataFrame:
     """Distinct corpus bigrams NOT subsumed by any distinct trigram.
 
-    A bigram is subsumed when overlap = |tokens(bi) ∩ tokens(tri)| /
-    |tokens(bi)| ≥ threshold (with 2 tokens and 0.8 ⇒ both tokens in
-    the trigram). The candidate join is seeded on the bigram's first
-    token matching any trigram token — sub-quadratic at vocabulary size.
+    A bigram is subsumed when |tokens(bi) ∩ tokens(tri)| ≥
+    ceil(overlap · |tokens(bi)|); with ≤2 distinct bigram tokens and
+    0.8 that means EVERY bigram token appears in the trigram. So the
+    candidate join is an exact equi-join on the sorted token(-pair)
+    key — a single-token seed join would fan out quadratically on Zipf
+    head tokens ("the" bigrams × "the" trigrams), which is the same
+    skew lesson as the SPIMI build, applied to vocabulary joins.
     """
-    toks = tokenized_docs(docs, cfg).withColumn(
-        "bi", ngrams_col(F.col("tokens"), 2, 2)
-    ).withColumn("tri", ngrams_col(F.col("tokens"), 3, 3))
+    # posexplode + lead windows beat the HOF slice/transform n-gram
+    # expression ~10× at corpus scale (interpreted HOF overhead)
+    from pyspark.sql.window import Window
+
+    pos = tokenized_docs(docs, cfg).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = pos.select(
+        F.col("t"),
+        F.lead("t", 1).over(w).alias("t1"),
+        F.lead("t", 2).over(w).alias("t2"),
+    )
     bigrams = (
-        toks.select(F.explode("bi").alias("bigram")).distinct()
-        .withColumn("btoks", F.array_distinct(F.split("bigram", " ")))
-        .withColumn("seed", F.element_at(F.split("bigram", " "), 1))
+        grams.filter(F.col("t1").isNotNull())
+        .select(F.concat_ws(" ", "t", "t1").alias("bigram"))
+        .groupBy("bigram")
+        .count()
+        .filter(F.col("count") >= MIN_NGRAM_FREQ)
+        .withColumn("btoks", F.array_sort(F.array_distinct(F.split("bigram", " "))))
+        .withColumn("key", F.concat_ws(" ", "btoks"))
     )
-    trigrams = (
-        toks.select(F.explode("tri").alias("trigram")).distinct()
-        .withColumn("ttoks", F.array_distinct(F.split("trigram", " ")))
-        .select("trigram", "ttoks", F.explode("ttoks").alias("seed"))
+    ttoks = (
+        grams.filter(F.col("t2").isNotNull())
+        .select(F.concat_ws(" ", "t", "t1", "t2").alias("trigram"))
+        .groupBy("trigram")
+        .count()
+        .filter(F.col("count") >= MIN_NGRAM_FREQ)
+        .withColumn("ttoks", F.array_sort(F.array_distinct(F.split("trigram", " "))))
+        .select("ttoks")
+        .distinct()
     )
-    cand = bigrams.join(trigrams, "seed")
-    subsumed = cand.filter(
-        F.size(F.array_intersect("btoks", "ttoks"))
-        >= F.ceil(F.lit(overlap) * F.size("btoks"))
-    ).select("bigram").distinct()
-    return bigrams.select("bigram").join(subsumed, "bigram", "left_anti")
+    # every non-empty token subset of a trigram's ≤3 distinct tokens, as a
+    # sorted space-joined key: singles + pairs + the full set
+    def subset_keys(arr):
+        singles = F.transform(arr, lambda x: x)
+        # NB sequence(a, b) with a > b yields a DESCENDING range, so the
+        # pair generator must be gated on size >= 2
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size(arr)),
+                        lambda j: F.concat_ws(
+                            " ", F.element_at(arr, i), F.element_at(arr, j)
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_union(singles, pairs)
+
+    tri_keys = ttoks.select(
+        F.explode(subset_keys(F.col("ttoks"))).alias("key")
+    ).distinct()
+    # survivor ⇔ key ∉ tri_keys: one anti-join, no second bigram pass
+    return bigrams.join(tri_keys, "key", "left_anti").select("bigram")

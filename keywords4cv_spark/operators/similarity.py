@@ -22,8 +22,11 @@ semantic categorization argmax (:1068-1090).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 N_PLANES = 8
@@ -51,6 +54,30 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def make_cosine_pairs_udf():
+    """Vectorized numpy cosine over (array, array) pairs.
+
+    The HOF column expression (cosine_col) is interpreted per element —
+    fine for thousands of pairs, ~100× too slow for the verify stage of
+    an LSH candidate set (hundreds of thousands of pairs × 64 dims).
+    This Arrow-batched UDF does the same math as one einsum per batch
+    (float64; SIMD summation may differ from sequential order in the
+    last ulp — all consumers rank/compare on round(cos, 6))."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.array([np.asarray(x, dtype=np.float64) for x in b])
+        if ma.size == 0:
+            return pd.Series([], dtype="float64")
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return cosine_pairs
 
 
 def cosine_topk(
@@ -125,10 +152,11 @@ def lsh_near_dup_pairs(
     c = withb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
     )
+    cos = make_cosine_pairs_udf()
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6))
+        .withColumn("cosine", F.round(cos(F.col("emb_a"), F.col("emb_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
