@@ -1,0 +1,48 @@
+"""Auxiliary sources/sinks (SURVEY.md §2.1 S3/S8/S9).
+
+- load_synonyms_json: the reference's synonyms.json phrase-synonym
+  source (/root/reference/keywords4cv.py:900-927, shape
+  {phrase: [synonyms...]}) → a broadcastable (term, synonym) relation.
+- save_results_jsonl / save_results_parquet: result sinks (reference
+  S8/S9, keywords4cv.py:3243-3277 + :1338-1340); atomicity comes from
+  Spark's _SUCCESS commit protocol rather than tmp-file + os.replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_synonyms_json(spark: SparkSession, path: str) -> DataFrame:
+    """{phrase: [syn, ...]} JSON file → (term, synonym) rows.
+
+    Read driver-side (the file is vocabulary-sized by definition) and
+    parallelized as a broadcast-ready DataFrame — matching the
+    reference's single-file load, not a distributed JSON scan.
+    """
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    rows = [
+        (str(term), str(s))
+        for term, syns in sorted(data.items())
+        for s in syns
+    ]
+    return spark.createDataFrame(rows, "term string, synonym string")
+
+
+def save_results_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def save_results_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def summary_and_details(summary: DataFrame, details: DataFrame, out_dir: str) -> None:
+    """Two-sheet result sink analog (reference S8 writes Summary +
+    Detailed Scores xlsx) — two partitioned parquet tables under one dir."""
+    save_results_parquet(summary.withColumn("sheet", F.lit("summary")), f"{out_dir}/summary")
+    save_results_parquet(details.withColumn("sheet", F.lit("details")), f"{out_dir}/details")

@@ -137,8 +137,6 @@ def test_canonical_clusters_spark_vs_local(spark):
 
 
 def test_lsh_buckets_match_plane_sign(spark, emb):
-    got = {r.vec_id: r.bucket for r in similarity.lsh_buckets(emb).limit(0).collect()}
-    # full check on a sample
     sample = emb.limit(30).collect()
     got = {
         r.vec_id: r.bucket
