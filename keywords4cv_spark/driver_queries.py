@@ -1123,3 +1123,52 @@ SELECT vec_id, label AS assigned_label, cosine FROM ranked WHERE rn = 1""",
 def q_assign_to_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return categorize.assign_to_centroids(emb, categorize.label_centroids(emb))
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / cube / rollup / pivot coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returns_cube",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.returns_cube(spark, sf_dir)
+
+
+@register(
+    "priority_rollup",
+    """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.priority_rollup(spark, sf_dir)
+
+
+@register(
+    "segment_pivot",
+    """
+SELECT o_orderstatus,
+       CAST(coalesce(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END), 0) AS BIGINT) AS automobile,
+       CAST(coalesce(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END), 0) AS BIGINT) AS building,
+       CAST(coalesce(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END), 0) AS BIGINT) AS furniture,
+       CAST(coalesce(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END), 0) AS BIGINT) AS household,
+       CAST(coalesce(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END), 0) AS BIGINT) AS machinery
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderstatus""",
+)
+def q_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.segment_pivot(spark, sf_dir)

@@ -138,3 +138,55 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 6).alias("running_value"),
         F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).cast("int").alias("seq"),
     )
+
+
+def returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations
+    with explicit grouping ids — multidimensional rollup coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (orderpriority, orderstatus): hierarchical subtotals."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+def segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by market segment (fixed column set)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, segs)
+        .select(
+            "o_orderstatus",
+            *[F.col(s).cast("long").alias(s.lower()) for s in segs],
+        )
+    )
