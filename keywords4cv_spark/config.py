@@ -34,6 +34,7 @@ class EngineConfig:
     default_section_weight: float = 1.0
 
     # --- index build / physical layout ---
+    store_positions: bool = False   # positional postings (phrase queries)
     block_size: int = 128           # postings per compressed block
     n_term_buckets: int = 8         # checkpoint/lineage unit (term_id % n)
     skew_df_threshold: int = 10_000  # df above which a term is "head"

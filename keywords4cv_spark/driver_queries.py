@@ -1172,3 +1172,36 @@ GROUP BY o_orderstatus""",
 )
 def q_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.segment_pivot(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# positional index: phrase search from compressed postings
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.query.phrase import phrase_search  # noqa: E402
+
+_POS_INDEX_CACHE: dict[str, object] = {}
+
+
+def _pos_index_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _POS_INDEX_CACHE:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "k4cv_index_pos",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        cfg = EngineConfig(
+            n_term_buckets=4, skew_df_threshold=150, n_salts=4, store_positions=True
+        )
+        _POS_INDEX_CACHE[sf_dir] = build_index(
+            spark, _docs(spark, sf_dir), base, cfg, url_col="source"
+        )
+    return _POS_INDEX_CACHE[sf_dir]
+
+
+@register("phrase_query_indexed", ORACLES["phrase_query"])
+def q_phrase_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same results as phrase_query (shared oracle), but answered from the
+    positional compressed index instead of re-scanning text."""
+    index = _pos_index_for(spark, sf_dir)
+    return phrase_search(spark, index, _PHRASES)

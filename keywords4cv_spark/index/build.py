@@ -100,12 +100,27 @@ def tokenized_docs(
     return out.withColumn("dl", F.size("tokens"))
 
 
-def term_frequencies(toks: DataFrame) -> DataFrame:
-    """(doc_id, term, tf, dl) — one shuffle, partial aggregation map-side."""
+def term_frequencies(toks: DataFrame, with_positions: bool = False) -> DataFrame:
+    """(doc_id, term, tf, dl[, positions]) — one shuffle, partial agg map-side.
+
+    ``with_positions`` collects the ascending token positions per
+    (doc, term) for positional (phrase-capable) indexes; positions are
+    only meaningful over the unigram token stream (ngram_hi == 1).
+    """
+    if not with_positions:
+        return (
+            toks.select("doc_id", "dl", F.explode("terms").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        )
     return (
-        toks.select("doc_id", "dl", F.explode("terms").alias("term"))
+        toks.select("doc_id", "dl", F.posexplode("terms").alias("pos", "term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+        .agg(
+            F.count("*").alias("tf"),
+            F.max("dl").alias("dl"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
     )
 
 
@@ -137,6 +152,11 @@ def _make_encoder(cfg: EngineConfig, n_docs: int, avgdl: float):
         import numpy as np
 
         idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
+        positions = (
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            if "positions" in pdf.columns
+            else None
+        )
         blocks = encode_postings(
             pdf["doc_id"].to_numpy(),
             pdf["tf"].to_numpy(),
@@ -146,6 +166,7 @@ def _make_encoder(cfg: EngineConfig, n_docs: int, avgdl: float):
             b,
             avgdl,
             block_size,
+            positions=positions,
         )
         out = pd.DataFrame(blocks)
         out.insert(0, "segment", segment)
@@ -171,6 +192,8 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     docs = docs.withColumnRenamed(doc_id_col, "doc_id")
 
+    if cfg.store_positions and cfg.ngram_hi != 1:
+        raise ValueError("positional indexes require unigram terms (ngram_hi == 1)")
     toks = tokenized_docs(docs, cfg).persist()
 
     # --- docmeta + stats (tiny outputs; computed once) ---
@@ -182,7 +205,7 @@ def build_index(
     srow = stats.collect()[0]
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
 
-    tf_df = term_frequencies(toks).persist()
+    tf_df = term_frequencies(toks, with_positions=cfg.store_positions).persist()
     dictionary = build_dictionary(tf_df).persist()
 
     if not _complete(index_dir, "dictionary"):

@@ -10,10 +10,14 @@ doc_ids strictly ascending):
 - columns: first_doc, last_doc, n, max_tf, max_score (exact BM25
   contribution upper bound for this block, computed at build time
   from idf/tf/dl), payload binary
-- payload: varbyte( gaps[1..n-1] ++ tfs[0..n-1] ++ dls[0..n-1] )
-  where gaps are doc_id deltas within the block (first doc lives in
-  the `first_doc` column). Storing dl inline makes query-time scoring
-  join-free (no docmeta shuffle on the hot path).
+- payload: varbyte( gaps[1..n-1] ++ tfs[0..n-1] ++ dls[0..n-1]
+  [ ++ position stream ] ) where gaps are doc_id deltas within the
+  block (first doc lives in the `first_doc` column). Storing dl inline
+  makes query-time scoring join-free (no docmeta shuffle on the hot
+  path). The optional position stream (store_positions builds) is the
+  per-doc token positions, delta-encoded per doc and concatenated —
+  its per-doc lengths are exactly the tfs, so no extra framing is
+  needed. Non-positional readers just ignore the tail.
 
 Everything here is plain numpy on contiguous arrays — it runs inside
 Arrow-batched `applyInPandas` groups, never per-row Python in Spark.
@@ -85,17 +89,22 @@ def encode_postings(
     b: float,
     avgdl: float,
     block_size: int = 128,
+    positions: list[np.ndarray] | None = None,
 ) -> list[dict]:
     """Split one sorted posting run into compressed blocks.
 
-    Returns a list of dict rows matching the postings table schema
-    (minus term_id/segment, which the caller adds).
+    ``positions[i]`` (optional) is the ascending token-position array of
+    doc i, with len(positions[i]) == tfs[i]. Returns a list of dict rows
+    matching the postings table schema (minus term_id/segment, which
+    the caller adds).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     dls = np.asarray(dls, dtype=np.int64)[order]
+    if positions is not None:
+        positions = [np.asarray(positions[i], dtype=np.int64) for i in order]
     if np.any(np.diff(doc_ids) <= 0):
         raise ValueError("doc_ids must be strictly ascending within a run")
     blocks = []
@@ -104,9 +113,15 @@ def encode_postings(
         t = tfs[lo : lo + block_size]
         ln = dls[lo : lo + block_size]
         gaps = np.diff(d).astype(np.uint64)
-        payload = varbyte_encode(
-            np.concatenate([gaps, t.astype(np.uint64), ln.astype(np.uint64)])
-        )
+        parts = [gaps, t.astype(np.uint64), ln.astype(np.uint64)]
+        if positions is not None:
+            for p in positions[lo : lo + block_size]:
+                deltas = np.empty(p.size, dtype=np.uint64)
+                if p.size:
+                    deltas[0] = p[0]
+                    deltas[1:] = np.diff(p).astype(np.uint64)
+                parts.append(deltas)
+        payload = varbyte_encode(np.concatenate(parts))
         scores = bm25_contrib(t, ln, idf, k1, b, avgdl)
         blocks.append(
             {
@@ -123,14 +138,32 @@ def encode_postings(
 
 
 def decode_block(payload: bytes, n: int, first_doc: int):
-    """Inverse of encode_postings for one block → (doc_ids, tfs, dls)."""
+    """Inverse of encode_postings for one block → (doc_ids, tfs, dls).
+
+    Tolerates (ignores) a trailing position stream — the BM25 path
+    never pays for positions it doesn't use."""
     vals = varbyte_decode(payload)
-    assert vals.size == 3 * n - 1, (vals.size, n)
+    assert vals.size >= 3 * n - 1, (vals.size, n)
     gaps = vals[: n - 1]
     tfs = vals[n - 1 : 2 * n - 1].astype(np.int64)
-    dls = vals[2 * n - 1 :].astype(np.int64)
+    dls = vals[2 * n - 1 : 3 * n - 1].astype(np.int64)
     doc_ids = np.empty(n, dtype=np.int64)
     doc_ids[0] = first_doc
     if n > 1:
         doc_ids[1:] = first_doc + np.cumsum(gaps.astype(np.int64))
     return doc_ids, tfs, dls
+
+
+def decode_block_positions(payload: bytes, n: int, first_doc: int):
+    """Positional decode → (doc_ids, tfs, dls, positions list[ndarray])."""
+    vals = varbyte_decode(payload)
+    doc_ids, tfs, dls = decode_block(payload, n, first_doc)
+    stream = vals[3 * n - 1 :].astype(np.int64)
+    assert stream.size == int(tfs.sum()), (stream.size, int(tfs.sum()))
+    positions = []
+    off = 0
+    for t in tfs:
+        deltas = stream[off : off + t]
+        positions.append(np.cumsum(deltas))
+        off += t
+    return doc_ids, tfs, dls, positions

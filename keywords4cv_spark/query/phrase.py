@@ -1,0 +1,112 @@
+"""Index-backed phrase search over positional postings.
+
+Exact n-term phrase matching from the compressed index: for phrase
+t₀ t₁ … tₖ, a doc matches at position p iff t₀@p, t₁@p+1, …, tₖ@p+k.
+The candidate set shrinks by positional intersection term by term —
+the positional-postings generalization of the reference's exact
+keyword match (SURVEY.md T4/G1 family).
+
+Spark shape mirrors wand.py: phrase terms ⋈ dictionary (broadcast) →
+postings pruned by bucket + term_id → ``groupBy(phrase).applyInPandas``
+decoding only the matched terms' blocks; numpy set intersection inside.
+Salted segments need no special handling (a doc's positions for a term
+live wholly in that term's one segment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.index.build import IndexTables
+from keywords4cv_spark.index.codec import decode_block_positions
+from keywords4cv_spark.textprep.normalize import tokenize
+
+
+def phrase_search(
+    spark: SparkSession,
+    index: IndexTables,
+    phrases: list[str],
+) -> DataFrame:
+    """(phrase, doc_id, n_occurrences) for every exact phrase match.
+
+    Requires an index built with ``store_positions=True``.
+    """
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    rows = []
+    n_terms: dict[str, int] = {}
+    for phrase in phrases:
+        terms = tokenize(phrase)
+        n_terms[phrase] = len(terms)
+        rows.extend((phrase, i, t) for i, t in enumerate(terms))
+    qdf = spark.createDataFrame(rows, "phrase string, ord int, term string")
+    qterms = qdf.join(index.dictionary, "term").select("phrase", "ord", "term_id")
+    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    if not term_ids:
+        return spark.createDataFrame(
+            [], "phrase string, doc_id long, n_occurrences long"
+        )
+    srow = index.stats.collect()[0]
+    scan = index.postings
+    if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
+        nb = int(srow["n_term_buckets"])
+        scan = scan.filter(
+            F.col("bucket").isin(sorted({tid % nb for tid in term_ids}))
+        )
+    blocks = scan.filter(F.col("term_id").isin(term_ids)).join(
+        F.broadcast(qterms), "term_id"
+    )
+    n_terms_b = spark.sparkContext.broadcast(n_terms)
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase = pdf["phrase"].iloc[0]
+        want = n_terms_b.value[phrase]
+        per_ord: dict[int, dict[int, np.ndarray]] = {}
+        for _, row in pdf.iterrows():
+            docs, _tfs, _dls, pos = decode_block_positions(
+                row["payload"], int(row["n"]), int(row["first_doc"])
+            )
+            bucket = per_ord.setdefault(int(row["ord"]), {})
+            for d, p in zip(docs, pos):
+                bucket[int(d)] = p
+        empty = pd.DataFrame(
+            {
+                "phrase": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            }
+        )
+        if sorted(per_ord) != list(range(want)):
+            return empty  # some phrase term absent from the corpus
+        cand = per_ord[0]
+        for i in range(1, want):
+            nxt: dict[int, np.ndarray] = {}
+            cur = per_ord[i]
+            for d, p in cand.items():
+                q = cur.get(d)
+                if q is None:
+                    continue
+                m = np.intersect1d(p + 1, q)
+                if m.size:
+                    nxt[d] = m
+            cand = nxt
+            if not cand:
+                return empty
+        docs_sorted = sorted(cand)
+        return pd.DataFrame(
+            {
+                "phrase": phrase,
+                "doc_id": pd.Series(docs_sorted, dtype="int64"),
+                "n_occurrences": pd.Series(
+                    [int(cand[d].size) for d in docs_sorted], dtype="int64"
+                ),
+            }
+        )
+
+    return blocks.groupBy("phrase").applyInPandas(
+        match, "phrase string, doc_id long, n_occurrences long"
+    )

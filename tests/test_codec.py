@@ -78,3 +78,45 @@ def test_encode_rejects_unsorted_duplicates():
         encode_postings(
             np.array([3, 3]), np.array([1, 1]), np.array([5, 5]), 1.0, 1.2, 0.75, 10.0
         )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**5),  # doc gap
+            st.lists(
+                st.integers(min_value=1, max_value=30),  # position gaps
+                min_size=1,
+                max_size=12,
+            ),
+            st.integers(min_value=1, max_value=3000),  # dl
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_positional_roundtrip_property(entries, block_size):
+    from keywords4cv_spark.index.codec import decode_block_positions
+
+    doc_ids = np.cumsum([e[0] for e in entries])
+    positions = [np.cumsum(e[1]) - 1 for e in entries]  # ascending, may start 0
+    tfs = np.array([p.size for p in positions], dtype=np.int64)
+    dls = np.array([e[2] for e in entries], dtype=np.int64)
+    blocks = encode_postings(
+        doc_ids, tfs, dls, 1.5, 1.2, 0.75, 100.0, block_size, positions=positions
+    )
+    out_docs, out_pos = [], []
+    for blk in blocks:
+        d, t, ln, pos = decode_block_positions(
+            blk["payload"], blk["n"], blk["first_doc"]
+        )
+        # the non-positional reader must still work on positional payloads
+        d2, t2, _ = decode_block(blk["payload"], blk["n"], blk["first_doc"])
+        assert list(d2) == list(d) and list(t2) == list(t)
+        out_docs.extend(d)
+        out_pos.extend(pos)
+    assert out_docs == list(doc_ids)
+    for got, want in zip(out_pos, positions):
+        assert list(got) == list(want)
