@@ -1205,3 +1205,40 @@ def q_phrase_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional compressed index instead of re-scanning text."""
     index = _pos_index_for(spark, sf_dir)
     return phrase_search(spark, index, _PHRASES)
+
+
+# ---------------------------------------------------------------------------
+# incremental (multi-generation) retrieval
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.query.wand import bm25_wand_multi  # noqa: E402
+
+_GEN_CACHE: dict[str, object] = {}
+
+
+def _generations_for(spark: SparkSession, sf_dir: str):
+    """Two disjoint index generations (doc_id parity split) — the
+    incremental-crawl simulation over the driver corpus."""
+    if sf_dir not in _GEN_CACHE:
+        base = os.path.join(
+            tempfile.gettempdir(), "k4cv_index_gens", sf_dir.strip("/").replace("/", "_")
+        )
+        cfg = EngineConfig(n_term_buckets=2, skew_df_threshold=150, n_salts=4)
+        docs = _docs(spark, sf_dir)
+        gens = [
+            build_index(
+                spark, docs.filter(F.col("doc_id") % 2 == parity),
+                f"{base}/gen{parity}", cfg, url_col="source",
+            )
+            for parity in (0, 1)
+        ]
+        _GEN_CACHE[sf_dir] = gens
+    return _GEN_CACHE[sf_dir]
+
+
+@register("bm25_incremental_topk", _bm25_oracle(CFG.k1, CFG.b, TOP_K))
+def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries two disjoint index generations together; shares the full
+    single-index BM25 oracle because the merge is rank-exact."""
+    gens = _generations_for(spark, sf_dir)
+    return bm25_wand_multi(spark, gens, CFG, TOP_K)

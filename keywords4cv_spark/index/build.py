@@ -136,9 +136,12 @@ def build_dictionary(tf_df: DataFrame) -> DataFrame:
 
 
 def corpus_stats(toks: DataFrame) -> DataFrame:
+    # sum_dl kept exactly (long) so multi-generation stats combine without
+    # float error: avgdl_global = Σ sum_dl / Σ n_docs
     return toks.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("long").alias("sum_dl"),
     )
 
 

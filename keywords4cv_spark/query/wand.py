@@ -252,3 +252,120 @@ def bm25_wand(
         bmw, "query_id long, doc_id long, score double"
     )
     return rank_topk(scored, k)
+
+
+def _tf_upper_bound(max_tf: np.ndarray, idf: float, k1: float, b: float) -> np.ndarray:
+    """Per-block BM25 upper bound from max_tf alone (dl → 0 limit).
+
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is increasing in tf and
+    decreasing in dl, so idf·max_tf·(k1+1)/(max_tf + k1·(1−b)) bounds
+    every posting in the block. Looser than the stored exact block-max
+    (which bakes in build-time global stats), but valid under ANY
+    global stats — which is what multi-generation querying needs.
+    """
+    t = max_tf.astype(np.float64)
+    return idf * (t * (k1 + 1.0)) / (t + k1 * (1.0 - b))
+
+
+def bm25_wand_multi(
+    spark: SparkSession,
+    indexes: list[IndexTables],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    queries: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """Rank-exact BM25 top-k across multiple index generations.
+
+    The LSM-style incremental story: each crawl batch becomes its own
+    small index (cheap append-only build over NEW docs); queries merge
+    generations at read time — doc_id spaces are disjoint, df/N/avgdl
+    combine exactly (sum_dl is stored as an integer), and per-block
+    bounds are recomputed from max_tf because the baked max_score of an
+    old generation is stale under the combined statistics. Results are
+    rank-identical to a full rebuild over the union (tested).
+    Compaction = build_index over the union when generations pile up.
+    """
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    pairs = queries if queries is not None else query_term_pairs()
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+
+    n_docs = 0
+    sum_dl = 0
+    for idx in indexes:
+        srow = idx.stats.collect()[0]
+        n_docs += int(srow["n_docs"])
+        sum_dl += int(srow["sum_dl"])
+    avgdl = sum_dl / n_docs
+    k1, b = cfg.k1, cfg.b
+
+    # global df per term = Σ generation df (doc spaces are disjoint)
+    df_total: dict[str, int] = {}
+    gen_scans = []
+    for g, idx in enumerate(indexes):
+        qt = qdf.join(idx.dictionary, "term").select("query_id", "term", "term_id", "df")
+        rows = qt.select("term", "term_id", "df").distinct().collect()
+        if not rows:
+            continue
+        for r in rows:
+            df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])
+        term_ids = sorted({r["term_id"] for r in rows})
+        scan = idx.postings
+        if "bucket" in scan.columns and "n_term_buckets" in idx.stats.columns:
+            nb = int(idx.stats.collect()[0]["n_term_buckets"])
+            scan = scan.filter(F.col("bucket").isin(sorted({t % nb for t in term_ids})))
+        blocks = (
+            scan.filter(F.col("term_id").isin(term_ids))
+            .join(F.broadcast(qt.select("query_id", "term", "term_id")), "term_id")
+            .select(
+                "query_id",
+                "term",
+                F.lit(g).alias("gen"),
+                "segment",
+                "first_doc",
+                "last_doc",
+                "n",
+                "max_tf",
+                "payload",
+            )
+        )
+        gen_scans.append(blocks)
+    if not gen_scans:
+        return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+    allblocks = gen_scans[0]
+    for s in gen_scans[1:]:
+        allblocks = allblocks.unionByName(s)
+
+    df_b = spark.sparkContext.broadcast(df_total)
+
+    def bmw(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cursors = []
+        for (term, _, _), g in pdf.groupby(["term", "gen", "segment"], sort=True):
+            df_val = df_b.value[term]
+            idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
+            max_tf = g["max_tf"].to_numpy(np.int64)
+            cursors.append(
+                _Cursor(
+                    idf, k1, b, avgdl,
+                    g["first_doc"].to_numpy(np.int64),
+                    g["last_doc"].to_numpy(np.int64),
+                    _tf_upper_bound(max_tf, idf, k1, b),
+                    list(g["payload"]),
+                    g["n"].to_numpy(np.int64),
+                )
+            )
+        hits = _bmw_one_query(cursors, k)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([qid] * len(hits), dtype="int64"),
+                "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+                "score": pd.Series([s for _, s in hits], dtype="float64"),
+            }
+        )
+
+    scored = allblocks.groupBy("query_id").applyInPandas(
+        bmw, "query_id long, doc_id long, score double"
+    )
+    return rank_topk(scored, k)

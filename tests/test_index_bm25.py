@@ -165,3 +165,25 @@ def test_resume_skips_completed_buckets(spark, docs, tmp_path):
     a = full.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
     b = resumed.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_multi_generation_rank_identical(spark, docs, tmp_path):
+    """Incremental story: two disjoint-generation indexes queried together
+    must be rank-identical to brute force over the union (and therefore
+    to a full rebuild)."""
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    gen1 = build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "g1"), CFG,
+        url_col="source",
+    )
+    gen2 = build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), str(tmp_path / "g2"), CFG,
+        url_col="source",
+    )
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    multi = _collect(bm25_wand_multi(spark, [gen1, gen2], CFG))
+    assert set(brute) == set(multi)
+    for key in brute:
+        assert brute[key][0] == multi[key][0], (key, brute[key], multi[key])
+        assert abs(brute[key][1] - multi[key][1]) < 1e-9, key
