@@ -48,12 +48,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # --- index build throughput ---
+    # --- index build throughput + compression ---
     idx_dir = tempfile.mkdtemp(prefix="k4cv_bench_idx_")
     t0 = time.perf_counter()
     index = build_index(spark, docs, idx_dir, cfg, url_col="source")
     timings["index_build"] = time.perf_counter() - t0
     extras["index_docs_per_sec"] = n_docs_total / timings["index_build"]
+
+    from pyspark.sql import functions as F
+
+    payload_bytes = int(
+        index.lineage.agg(F.coalesce(F.sum("payload_bytes"), F.lit(0))).collect()[0][0]
+    )
+    text_bytes = int(docs.agg(F.sum(F.length("text"))).collect()[0][0])
+    extras["postings_payload_bytes"] = payload_bytes
+    extras["raw_text_bytes"] = text_bytes
 
     # --- BM25 query latency (fixture query set) ---
     t0 = time.perf_counter()
@@ -84,6 +93,11 @@ def main() -> None:
         "cpus": cpus,
         "n_docs": n_docs_total,
         "index_docs_per_sec": round(extras["index_docs_per_sec"], 1),
+        "postings_payload_bytes": extras["postings_payload_bytes"],
+        "raw_text_bytes": extras["raw_text_bytes"],
+        "compression_ratio": round(
+            extras["raw_text_bytes"] / max(extras["postings_payload_bytes"], 1), 2
+        ),
     }
     print(json.dumps(out))
     spark.stop()

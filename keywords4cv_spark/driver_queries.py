@@ -40,6 +40,10 @@ ORACLES: dict[str, str] = {}
 
 CFG = DEFAULT_CONFIG
 
+# cache-busting tag: /tmp index layouts from older engine versions must
+# never be read by a newer codec/schema
+from keywords4cv_spark import __version__ as _ENGINE_V  # noqa: E402
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -128,7 +132,7 @@ _INDEX_CACHE: dict[str, object] = {}
 def _index_for(spark: SparkSession, sf_dir: str):
     if sf_dir not in _INDEX_CACHE:
         base = os.path.join(
-            tempfile.gettempdir(), "k4cv_index", sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(), f"k4cv_index_{_ENGINE_V}", sf_dir.strip("/").replace("/", "_")
         )
         cfg = EngineConfig(
             n_term_buckets=4,
@@ -1187,7 +1191,7 @@ def _pos_index_for(spark: SparkSession, sf_dir: str):
     if sf_dir not in _POS_INDEX_CACHE:
         base = os.path.join(
             tempfile.gettempdir(),
-            "k4cv_index_pos",
+            f"k4cv_index_pos_{_ENGINE_V}",
             sf_dir.strip("/").replace("/", "_"),
         )
         cfg = EngineConfig(
@@ -1221,7 +1225,7 @@ def _generations_for(spark: SparkSession, sf_dir: str):
     incremental-crawl simulation over the driver corpus."""
     if sf_dir not in _GEN_CACHE:
         base = os.path.join(
-            tempfile.gettempdir(), "k4cv_index_gens", sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(), f"k4cv_index_gens_{_ENGINE_V}", sf_dir.strip("/").replace("/", "_")
         )
         cfg = EngineConfig(n_term_buckets=2, skew_df_threshold=150, n_salts=4)
         docs = _docs(spark, sf_dir)

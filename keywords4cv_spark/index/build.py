@@ -81,17 +81,40 @@ class IndexTables:
     docmeta: DataFrame
     stats: DataFrame
     lineage: DataFrame
+    _stats_row: object = None
+
+    def stats_row(self):
+        """Collected stats row, cached — the query hot path shouldn't pay
+        a driver round-trip per call for one immutable row."""
+        if self._stats_row is None:
+            self._stats_row = self.stats.collect()[0]
+        return self._stats_row
 
 
 def tokenized_docs(
     docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, text_col: str = "text"
 ) -> DataFrame:
-    """documents → (doc_id, tokens, dl); lang filter pushed into the scan."""
+    """documents → (doc_id, tokens, dl); lang filter pushed into the scan.
+
+    Tokenizer engine per cfg.tokenizer: both are parity-tested
+    byte-identical; "pandas" (Arrow UDF in Python worker processes) is
+    the default because JDK-17 regex doesn't scale across threads of one
+    JVM (see config.py) — the reference's own multiprocessing fan-out
+    (keywords4cv.py:1673-1692), re-learned the Spark way.
+    """
     if cfg.lang_filter and "lang" in docs.columns:
         docs = docs.filter(F.col("lang") == cfg.lang_filter)
-    out = docs.withColumn(
-        "tokens", tokens_col(F.col(text_col), cfg.min_token_len, cfg.stopwords)
-    )
+    if cfg.tokenizer == "pandas":
+        from keywords4cv_spark.deploy import ensure_py_files
+        from keywords4cv_spark.textprep.udfs import make_tokenize_udf
+
+        ensure_py_files(docs.sparkSession)
+        tok = make_tokenize_udf(cfg.min_token_len, cfg.stopwords)
+        out = docs.withColumn("tokens", tok(F.col(text_col)))
+    else:
+        out = docs.withColumn(
+            "tokens", tokens_col(F.col(text_col), cfg.min_token_len, cfg.stopwords)
+        )
     if cfg.ngram_hi > 1:
         out = out.withColumn("terms", ngrams_col(F.col("tokens"), cfg.ngram_lo, cfg.ngram_hi))
     else:
@@ -197,12 +220,18 @@ def build_index(
 
     if cfg.store_positions and cfg.ngram_hi != 1:
         raise ValueError("positional indexes require unigram terms (ngram_hi == 1)")
-    toks = tokenized_docs(docs, cfg).persist()
+    # persist ONLY what downstream needs — caching the full documents
+    # relation (html/text ride along) blows the block-manager memory and
+    # the resulting GC serializes every later stage
+    keep = [F.col("doc_id"), F.col("terms"), F.col("dl")]
+    if url_col and url_col in docs.columns:
+        keep.insert(1, F.col(url_col).alias("url"))
+    toks = tokenized_docs(docs, cfg).select(*keep).persist()
 
     # --- docmeta + stats (tiny outputs; computed once) ---
     meta_cols = [F.col("doc_id"), F.col("dl").cast("long").alias("dl")]
     if url_col and url_col in docs.columns:
-        meta_cols.insert(1, F.col(url_col).alias("url"))
+        meta_cols.insert(1, F.col("url"))
     docmeta = toks.select(*meta_cols)
     stats = corpus_stats(toks)
     srow = stats.collect()[0]
@@ -246,7 +275,8 @@ def build_index(
             .collect()
         }
     times: dict[int, tuple[float, float]] = {}
-    for bucket in todo:
+
+    def encode_bucket(bucket: int) -> tuple[float, float]:
         started = time.time()
         part = posted.filter(F.col("bucket") == bucket)
         blocks = (
@@ -261,7 +291,17 @@ def build_index(
         blocks.sortWithinPartitions("term_id", "segment", "block_id").write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/postings/bucket={bucket}")
-        times[bucket] = (started, time.time())
+        return started, time.time()
+
+    if todo:
+        # submit bucket jobs concurrently: each still commits independently
+        # (per-partition checkpoint granularity), but their fixed per-job
+        # scheduling/worker-spin-up costs overlap instead of serializing
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+            for bucket, span in zip(todo, ex.map(encode_bucket, todo)):
+                times[bucket] = span
 
     # a crash between a bucket's parquet commit and the lineage append
     # leaves a committed bucket without a lineage row — recover it here

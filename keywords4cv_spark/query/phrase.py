@@ -50,7 +50,7 @@ def phrase_search(
         return spark.createDataFrame(
             [], "phrase string, doc_id long, n_occurrences long"
         )
-    srow = index.stats.collect()[0]
+    srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
         nb = int(srow["n_term_buckets"])

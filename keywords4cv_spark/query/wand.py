@@ -203,7 +203,7 @@ def bm25_wand(
     ensure_py_files(spark)
     pairs = queries if queries is not None else query_term_pairs()
     qdf = spark.createDataFrame(pairs, "query_id long, term string")
-    srow = index.stats.collect()[0]
+    srow = index.stats_row()
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     k1, b = cfg.k1, cfg.b
 
@@ -294,7 +294,7 @@ def bm25_wand_multi(
     n_docs = 0
     sum_dl = 0
     for idx in indexes:
-        srow = idx.stats.collect()[0]
+        srow = idx.stats_row()
         n_docs += int(srow["n_docs"])
         sum_dl += int(srow["sum_dl"])
     avgdl = sum_dl / n_docs
@@ -313,7 +313,7 @@ def bm25_wand_multi(
         term_ids = sorted({r["term_id"] for r in rows})
         scan = idx.postings
         if "bucket" in scan.columns and "n_term_buckets" in idx.stats.columns:
-            nb = int(idx.stats.collect()[0]["n_term_buckets"])
+            nb = int(idx.stats_row()["n_term_buckets"])
             scan = scan.filter(F.col("bucket").isin(sorted({t % nb for t in term_ids})))
         blocks = (
             scan.filter(F.col("term_id").isin(term_ids))

@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # sandbox corpora are ~100MB: the 128MB default packs the whole
+        # scan into 1-2 splits and the tokenize stage runs on ONE core
+        # (measured: 16-thread tokenize == single-thread Python). At
+        # cluster scale with TB inputs the default is fine — this knob is
+        # the local-mode equivalent of "have enough input splits".
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
