@@ -39,7 +39,11 @@ def get_spark(
         # the local-mode equivalent of "have enough input splits".
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "64k")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only: the heap must hold every persisted
+        # relation × concurrent tasks, or cache eviction serializes the
+        # build (measured: 500k-doc build at local[16] SLOWER than
+        # local[4] on an 8g heap)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
