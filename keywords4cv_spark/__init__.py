@@ -24,6 +24,6 @@ Everything is DataFrame/Catalyst-first; Python appears only in
 vectorized Arrow-batched UDFs (never per-row).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from keywords4cv_spark.config import EngineConfig  # noqa: F401

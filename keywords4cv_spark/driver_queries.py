@@ -439,10 +439,12 @@ marked AS (
   FROM gaps
 ),
 sess AS (
-  SELECT *, sum(new_session) OVER (
+  -- CAST: DuckDB's sum() over ints yields HUGEINT; Spark's session_id is
+  -- BIGINT — the comparator hashes diverge on type without this
+  SELECT *, CAST(sum(new_session) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_id
+  ) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,

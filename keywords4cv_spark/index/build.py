@@ -26,10 +26,13 @@ verify-then-load checkpoint gate (keywords4cv.py:2821-2895,
 Scale notes (1000-executor / 10^12-doc design point):
 - tf aggregation is one hash-partial + final agg shuffle on
   (doc_id, term); no collect anywhere.
-- dictionary term_id uses a vocabulary-global sort (row_number over
-  ORDER BY term). Vocabulary is ~1e8-1e9 terms at web scale — one
-  range-partitioned sort, acceptable; it buys deterministic ids and
-  range-prunable dictionaries.
+- dictionary term_id is assigned by a PARALLEL range-partitioned
+  scheme (assign_term_ids): repartitionByRange(term) → per-partition
+  counts (driver-small collect) → broadcast cumulative offsets →
+  within-partition row_number + offset. The resulting id is the global
+  rank of the term (boundary-independent, deterministic across runs —
+  resume-safe), and no task ever sees more than one range partition of
+  the ~1e8-1e9-term web vocabulary.
 - postings join dictionary on term: Spark/AQE picks broadcast when the
   dictionary is small, sort-merge otherwise; head-term skew in THIS
   join is handled by AQE skewJoin, while the groupBy-encode skew is
@@ -68,8 +71,13 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+# _lineage is a bucket-partitioned parquet table (_lineage/bucket=N/):
+# each bucket's row commits atomically WITH that bucket (own _SUCCESS),
+# so a mid-build crash loses at most the in-flight buckets' lineage —
+# never the completed ones. `bucket` itself comes from partition
+# discovery, not the data columns.
 LINEAGE_SCHEMA = (
-    "bucket int, status string, rows long, n_blocks long, n_terms long, "
+    "status string, rows long, n_blocks long, n_terms long, "
     "payload_bytes long, input_hash long, started_ts double, finished_ts double"
 )
 
@@ -147,15 +155,60 @@ def term_frequencies(toks: DataFrame, with_positions: bool = False) -> DataFrame
     )
 
 
+def assign_term_ids(agg: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Add a deterministic dense ``term_id`` (1..V in term order) — parallel.
+
+    ``Window.orderBy("term")`` with no partitionBy funnels the entire
+    vocabulary through ONE task — the 1e9-term blocker at web scale.
+    Instead: range-partition by term → per-partition counts (one
+    driver-small collect, |counts| = #partitions) → broadcast cumulative
+    offsets → within-partition row_number + offset. Because range
+    partitions are ordered and disjoint, the id equals the term's global
+    rank regardless of where the sampled range boundaries land, so ids
+    are deterministic across runs (resume-safe) and every stage is
+    parallel.
+
+    The returned DataFrame keeps a handle to its persisted staging
+    relation in ``._k4cv_staged``; callers may unpersist it once the
+    result is materialized.
+    """
+    spark = agg.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    parted = (
+        agg.repartitionByRange(n, "term")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in parted.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, id_offset long")
+    w = Window.partitionBy("pid").orderBy("term")
+    out = (
+        parted.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "term_id", (F.row_number().over(w) + F.col("id_offset")).cast("long")
+        )
+        .drop("pid", "id_offset")
+    )
+    out._k4cv_staged = parted
+    return out
+
+
 def build_dictionary(tf_df: DataFrame) -> DataFrame:
     """(term, term_id, df, cf). term_id = dense rank of term (deterministic)."""
     agg = tf_df.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
-    w = Window.orderBy("term")
-    return agg.withColumn("term_id", F.row_number().over(w).cast("long")).select(
-        "term", "term_id", "df", "cf"
-    )
+    ids = assign_term_ids(agg)
+    out = ids.select("term", "term_id", "df", "cf")
+    out._k4cv_staged = ids._k4cv_staged
+    return out
 
 
 def corpus_stats(toks: DataFrame) -> DataFrame:
@@ -240,15 +293,7 @@ def build_index(
     tf_df = term_frequencies(toks, with_positions=cfg.store_positions).persist()
     dictionary = build_dictionary(tf_df).persist()
 
-    if not _complete(index_dir, "dictionary"):
-        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
-        docmeta.write.mode("overwrite").parquet(f"{index_dir}/docmeta")
-        stats.withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
-            "n_term_buckets", F.lit(cfg.n_term_buckets)
-        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
-
-    # --- postings per term bucket, with lineage + resume ---
-    done = _committed_buckets(index_dir, cfg.n_term_buckets) if resume else set()
+    # --- postings per term bucket, with lineage + verified resume ---
     posted = (
         tf_df.join(dictionary.select("term", "term_id", "df"), "term")
         .withColumn(
@@ -259,24 +304,50 @@ def build_index(
             ).otherwise(F.lit(0)),
         )
         .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets)).cast("int"))
+        .persist()
     )
+    # order-independent content fingerprint per bucket, ONE job for all.
+    # This is both the lineage input_hash of newly built buckets AND the
+    # verification gate on resume: a committed bucket is only skipped if
+    # the current input re-hashes to the value recorded when it was built
+    # (mirrors the reference's verify-then-load xxh3 checksum manifest,
+    # keywords4cv.py:2821-2895) — resuming over a CHANGED corpus rebuilds
+    # instead of silently mixing generations.
+    hashes: dict[int, int] = {
+        int(r["bucket"]): int(r["h"])
+        for r in posted.groupBy("bucket")
+        .agg(F.expr("bit_xor(xxhash64(term_id, doc_id, tf))").alias("h"))
+        .collect()
+    }
+    # whole-corpus fingerprint (XOR of bucket hashes): dictionary/docmeta/
+    # stats are only reused on resume if the corpus they were built from is
+    # byte-identical — term_id is a global term rank, so ANY vocabulary
+    # change shifts ids and must rewrite the meta tables too
+    total_hash = 0
+    for h in hashes.values():
+        total_hash ^= h
+    if not _meta_fresh(spark, index_dir, total_hash, resume):
+        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+        docmeta.write.mode("overwrite").parquet(f"{index_dir}/docmeta")
+        stats.withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
+            "n_term_buckets", F.lit(cfg.n_term_buckets)
+        ).withColumn("input_hash", F.lit(total_hash)).write.mode("overwrite").parquet(
+            f"{index_dir}/stats"
+        )
+
+    committed = _committed_buckets(index_dir, cfg.n_term_buckets) if resume else set()
+    prev_hash: dict[int, int] = {}
+    if committed:
+        prev_hash = _lineage_hashes(spark, index_dir)
+    # a committed bucket is resumed ONLY if its recorded input_hash matches
+    # the current corpus; one with no lineage row (crash between the
+    # postings commit and the lineage commit) or a stale hash rebuilds —
+    # overwrite is idempotent
+    done = {b for b in committed if prev_hash.get(b) == hashes.get(b, 0)}
     encoder = _make_encoder(cfg, n_docs, avgdl)
     todo = [b for b in range(cfg.n_term_buckets) if b not in done]
-    hashes: dict[int, int] = {}
-    if todo:
-        posted = posted.persist()
-        # order-independent content fingerprint per bucket, one job for all
-        # (mirrors the reference's xxh3 checksum manifest,
-        # keywords4cv.py:2821-2858)
-        hashes = {
-            r["bucket"]: r["h"]
-            for r in posted.groupBy("bucket")
-            .agg(F.expr("bit_xor(xxhash64(term_id, doc_id, tf))").alias("h"))
-            .collect()
-        }
-    times: dict[int, tuple[float, float]] = {}
 
-    def encode_bucket(bucket: int) -> tuple[float, float]:
+    def encode_bucket(bucket: int) -> None:
         started = time.time()
         part = posted.filter(F.col("bucket") == bucket)
         blocks = (
@@ -291,75 +362,74 @@ def build_index(
         blocks.sortWithinPartitions("term_id", "segment", "block_id").write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/postings/bucket={bucket}")
-        return started, time.time()
-
-    if todo:
-        # submit bucket jobs concurrently: each still commits independently
-        # (per-partition checkpoint granularity), but their fixed per-job
-        # scheduling/worker-spin-up costs overlap instead of serializing
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
-            for bucket, span in zip(todo, ex.map(encode_bucket, todo)):
-                times[bucket] = span
-
-    # a crash between a bucket's parquet commit and the lineage append
-    # leaves a committed bucket without a lineage row — recover it here
-    recovered = sorted(
-        (_committed_buckets(index_dir, cfg.n_term_buckets) - set(todo))
-        - _lineage_buckets(spark, index_dir)
-    )
-    for b in recovered:
-        times[b] = (0.0, time.time())
-    todo = todo + recovered
-
-    if todo:
-        # per-bucket lineage metrics in ONE job over the written files
-        # (one read-back agg instead of 2 driver round-trips per bucket —
-        # the serial fraction is what caps scaling efficiency)
-        bstats = {
-            int(r["bucket"]): r
-            for r in spark.read.option("basePath", f"{index_dir}/postings")
-            .parquet(*[f"{index_dir}/postings/bucket={b}" for b in todo])
-            .groupBy("bucket")
+        # read-back metrics + the bucket's own lineage commit. These extra
+        # per-bucket jobs run INSIDE the concurrent bucket threads, so their
+        # fixed scheduling costs overlap instead of adding a serial tail.
+        s = (
+            spark.read.parquet(f"{index_dir}/postings/bucket={bucket}")
             .agg(
                 F.coalesce(F.sum("n"), F.lit(0)).alias("rows"),
                 F.count("*").alias("n_blocks"),
                 F.countDistinct("term_id").alias("n_terms"),
                 F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("payload_bytes"),
             )
-            .collect()
-        }
-        lineage_rows = pd.DataFrame(
+            .collect()[0]
+        )
+        row = pd.DataFrame(
             [
                 {
-                    "bucket": b,
                     "status": "complete",
-                    "rows": int(bstats[b]["rows"]) if b in bstats else 0,
-                    "n_blocks": int(bstats[b]["n_blocks"]) if b in bstats else 0,
-                    "n_terms": int(bstats[b]["n_terms"]) if b in bstats else 0,
-                    "payload_bytes": int(bstats[b]["payload_bytes"]) if b in bstats else 0,
-                    "input_hash": int(hashes.get(b, 0)),
-                    "started_ts": times[b][0],
-                    "finished_ts": times[b][1],
+                    "rows": int(s["rows"]),
+                    "n_blocks": int(s["n_blocks"]),
+                    "n_terms": int(s["n_terms"]),
+                    "payload_bytes": int(s["payload_bytes"]),
+                    "input_hash": int(hashes.get(bucket, 0)),
+                    "started_ts": started,
+                    "finished_ts": time.time(),
                 }
-                for b in todo
             ]
         )
-        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{index_dir}/_lineage")
+        spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/_lineage/bucket={bucket}")
+
+    if todo:
+        # submit ALL bucket jobs concurrently: each commits independently
+        # (per-partition checkpoint granularity) and their fixed per-job
+        # scheduling/worker-spin-up costs overlap instead of serializing
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+            list(ex.map(encode_bucket, todo))
 
     toks.unpersist()
     tf_df.unpersist()
+    staged = getattr(dictionary, "_k4cv_staged", None)
+    if staged is not None:
+        staged.unpersist()
     dictionary.unpersist()
-    if todo:
-        posted.unpersist()
+    posted.unpersist()
     return load_index(spark, index_dir)
 
 
 def _complete(index_dir: str, table: str) -> bool:
     return os.path.exists(os.path.join(index_dir, table, "_SUCCESS"))
+
+
+def _meta_fresh(
+    spark: SparkSession, index_dir: str, total_hash: int, resume: bool
+) -> bool:
+    """True iff the committed dictionary/docmeta/stats tables were built
+    from a corpus with the same whole-corpus fingerprint."""
+    if not resume:
+        return False
+    for table in ("dictionary", "docmeta", "stats"):
+        if not _complete(index_dir, table):
+            return False
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    if "input_hash" not in stats.columns:
+        return False
+    return int(stats.select("input_hash").collect()[0][0]) == total_hash
 
 
 def _committed_buckets(index_dir: str, n_buckets: int) -> set[int]:
@@ -371,13 +441,26 @@ def _committed_buckets(index_dir: str, n_buckets: int) -> set[int]:
     }
 
 
-def _lineage_buckets(spark: SparkSession, index_dir: str) -> set[int]:
-    path = f"{index_dir}/_lineage"
-    if not os.path.exists(path):
-        return set()
+def _lineage_hashes(spark: SparkSession, index_dir: str) -> dict[int, int]:
+    """bucket → recorded input_hash for every committed lineage row."""
+    base = os.path.join(index_dir, "_lineage")
+    if not os.path.isdir(base):
+        return {}
+    dirs = [
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("bucket=")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    ]
+    if not dirs:
+        return {}
     return {
-        r["bucket"]
-        for r in spark.read.parquet(path).select("bucket").distinct().collect()
+        int(r["bucket"]): int(r["input_hash"])
+        for r in spark.read.option("basePath", base)
+        .parquet(*dirs)
+        .filter(F.col("status") == "complete")
+        .select("bucket", "input_hash")
+        .collect()
     }
 
 
@@ -389,5 +472,7 @@ def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
         ),
         docmeta=spark.read.parquet(f"{index_dir}/docmeta"),
         stats=spark.read.parquet(f"{index_dir}/stats"),
-        lineage=spark.read.parquet(f"{index_dir}/_lineage"),
+        lineage=spark.read.option("basePath", f"{index_dir}/_lineage").parquet(
+            f"{index_dir}/_lineage"
+        ),
     )

@@ -21,33 +21,45 @@ from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
 def extraction_metrics(
     spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """One-row (n_extracted, n_skills, n_hit, precision, recall, f1)."""
-    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
-    skill_terms = skills.select(F.col("skill").alias("term")).distinct()
+    """One-row (n_extracted, n_skills, n_hit, precision, recall, f1).
+
+    ONE aggregation job: the whitelist is a driver-side constant (its
+    distinct count needs no Spark job), so a single broadcast left join
+    + agg yields every count, and the derived metrics are columns of
+    that one row — no collect/driver arithmetic, no repeated scans.
+    """
+    skill_set = sorted({s for _, s in vocab.SKILLS})
+    n_skills = len(skill_set)
+    skill_terms = spark.createDataFrame(
+        [(s, 1) for s in skill_set], "term string, is_skill int"
+    )
     extracted = (
         tokenized_docs(docs, cfg)
         .select(F.explode("tokens").alias("term"))
         .distinct()
     )
-    n_extracted = extracted.count()
-    n_skills = skill_terms.count()
-    n_hit = extracted.join(F.broadcast(skill_terms), "term", "left_semi").count()
-    precision = n_hit / n_extracted if n_extracted else 0.0
-    recall = n_hit / n_skills if n_skills else 0.0
-    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
-    return spark.createDataFrame(
-        [
-            (
-                n_extracted,
-                n_skills,
-                n_hit,
-                round(precision, 6),
-                round(recall, 6),
-                round(f1, 6),
-            )
-        ],
-        "n_extracted long, n_skills long, n_hit long, "
-        "precision double, recall double, f1 double",
+    counts = (
+        extracted.join(F.broadcast(skill_terms), "term", "left")
+        .agg(
+            F.count("*").alias("n_extracted"),
+            F.coalesce(F.sum("is_skill"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn("n_skills", F.lit(n_skills).cast("long"))
+    )
+    p = F.when(
+        F.col("n_extracted") > 0, F.col("n_hit") / F.col("n_extracted")
+    ).otherwise(F.lit(0.0))
+    r = F.when(F.col("n_skills") > 0, F.col("n_hit") / F.col("n_skills")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when((p + r) > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return counts.select(
+        "n_extracted",
+        "n_skills",
+        "n_hit",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )
 
 

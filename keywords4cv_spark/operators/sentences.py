@@ -1,0 +1,197 @@
+"""Sentence segmentation (P6), per-keyword section detection (P8) and
+±w-sentence context-window validation (J4).
+
+Re-expresses the reference's spaCy-based sentence machinery with a
+deterministic, engine-portable rule set:
+
+- ``_extract_sentences`` (/root/reference/keywords4cv.py:1272-1285):
+  spaCy ``doc.sents`` plus an optional bullet-point split. Re-specified
+  spaCy-free (SURVEY.md §5.2a) as: split on runs of sentence-ending
+  punctuation ``[.!?]`` or bullets ``•``, trim, drop empties. The same
+  regex runs in Spark (Java regex) and DuckDB (RE2).
+- ``_get_context_window`` (keywords4cv.py:1287-1303): the ±w-sentence
+  window around the FIRST sentence containing the keyword. Here the
+  window math is a RANGE BETWEEN -w AND w window frame over sentence
+  indexes — the W2 rows-between mapping planned in SURVEY.md §2.6.
+- ``validate_term`` (validation_utils.py:50-143): the reference scores
+  keyword-vs-context semantic similarity with word vectors. The engine
+  re-specifies validation as deterministic lexical co-occurrence — a
+  keyword occurrence is valid iff its ±w window contains at least
+  ``min_context_hits`` occurrences of OTHER whitelist terms (no word
+  vectors ship in this container; the plan shape — window frames over
+  sentence-indexed aggregates — is identical for any scorer, and the
+  cosine scorer exists separately in operators/categorize.py).
+- ``_detect_keyword_section`` (keywords4cv.py:1499-1522): the nearest
+  heading PRECEDING the keyword's first match. Implemented by sentinel-
+  splitting the document at headings (one regexp_replace + split, no
+  per-match driver loop): every token inherits the heading of its
+  segment, and the first segment containing the keyword gives the
+  reference's answer.
+
+Scale: everything is split → posexplode → windowed aggregation. The
+sentence/segment relations are per-doc local (windows partition by
+doc_id), so there is no global shuffle beyond the initial explode, and
+no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keywords4cv_spark import vocab
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.operators.sections import HEADINGS
+from keywords4cv_spark.textprep.spark_exprs import tokens_col
+
+# sentence boundary: runs of ./!/? or bullet (reference custom rule)
+SENT_SPLIT = "[.!?•]+"
+# heading sentinel (any char outside the corpus alphabet works)
+_SENTINEL = "\x01"
+HEAD_RE = "(" + "|".join(HEADINGS) + "):"
+CONTEXT_WINDOW = 1  # reference default context_window_size
+MIN_CONTEXT_HITS = 1
+
+
+def sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sent_idx, sentence): P6 segmentation, 0-based dense index."""
+    raw = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), SENT_SPLIT)).alias("pos", "raw")
+    )
+    kept = raw.withColumn("sentence", F.trim("raw")).filter(F.length("sentence") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return kept.withColumn(
+        "sent_idx", (F.row_number().over(w) - 1).cast("int")
+    ).select("doc_id", "sent_idx", "sentence")
+
+
+def sentence_stats(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, sent_idx, n_tokens): per-sentence token counts."""
+    s = sentences(docs)
+    return s.select(
+        "doc_id",
+        "sent_idx",
+        F.size(tokens_col(F.col("sentence"), cfg.min_token_len, cfg.stopwords))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def _heading_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, seg_idx, section, body): document split at headings.
+
+    One regexp_replace inserts a sentinel before every heading, one
+    split recovers ordered segments — each segment's tokens all have
+    that heading as their nearest preceding heading. Segment 0 before
+    any heading is the reference's 'general'.
+    """
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col(text_col), HEAD_RE, _SENTINEL + "$1:"),
+                _SENTINEL,
+            )
+        ).alias("seg_idx", "body"),
+    ).filter(F.length(F.trim("body")) > 0)
+    head = F.regexp_extract(F.col("body"), "^" + HEAD_RE, 1)
+    return segs.withColumn(
+        "section", F.when(head == "", F.lit("general")).otherwise(head)
+    )
+
+
+def keyword_sections(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, term, section): nearest-preceding heading at the FIRST
+    occurrence of each whitelist keyword in each document (P8)."""
+    segs = _heading_segments(docs)
+    toks = segs.select(
+        "doc_id",
+        "seg_idx",
+        "section",
+        F.explode(
+            tokens_col(F.col("body"), cfg.min_token_len, cfg.stopwords)
+        ).alias("term"),
+    )
+    skills = spark.createDataFrame(
+        [(s,) for s in sorted({s for _, s in vocab.SKILLS})], "term string"
+    )
+    hits = toks.join(F.broadcast(skills), "term", "left_semi")
+    w = Window.partitionBy("doc_id", "term").orderBy("seg_idx")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "section")
+    )
+
+
+def _sentence_skill_hits(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig
+) -> DataFrame:
+    """(doc_id, sent_idx, term, cnt) for whitelist terms per sentence."""
+    s = sentences(docs)
+    toks = s.select(
+        "doc_id",
+        "sent_idx",
+        F.explode(
+            tokens_col(F.col("sentence"), cfg.min_token_len, cfg.stopwords)
+        ).alias("term"),
+    )
+    skills = spark.createDataFrame(
+        [(s_,) for s_ in sorted({s_ for _, s_ in vocab.SKILLS})], "term string"
+    )
+    return (
+        toks.join(F.broadcast(skills), "term", "left_semi")
+        .groupBy("doc_id", "sent_idx", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def context_validated_terms(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    window: int = CONTEXT_WINDOW,
+    min_context_hits: int = MIN_CONTEXT_HITS,
+) -> DataFrame:
+    """(doc_id, term, first_sent, n_context_other, valid): J4 validation.
+
+    For each whitelist keyword's FIRST sentence in a doc, count
+    occurrences of OTHER whitelist terms within ±window sentences
+    (RANGE frame over sent_idx — gap-safe) and mark valid iff the count
+    reaches min_context_hits.
+    """
+    hits = _sentence_skill_hits(spark, docs, cfg).persist()
+    stot = hits.groupBy("doc_id", "sent_idx").agg(F.sum("cnt").alias("s_tot"))
+    w_tot = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rangeBetween(-window, window)
+    )
+    wtot = stot.withColumn("w_tot", F.sum("s_tot").over(w_tot)).select(
+        "doc_id", "sent_idx", "w_tot"
+    )
+    w_term = (
+        Window.partitionBy("doc_id", "term")
+        .orderBy("sent_idx")
+        .rangeBetween(-window, window)
+    )
+    scored = (
+        hits.withColumn("w_term", F.sum("cnt").over(w_term))
+        .join(wtot, ["doc_id", "sent_idx"])
+        .withColumn("n_context_other", (F.col("w_tot") - F.col("w_term")).cast("long"))
+    )
+    first = Window.partitionBy("doc_id", "term").orderBy("sent_idx")
+    return (
+        scored.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "term",
+            F.col("sent_idx").alias("first_sent"),
+            "n_context_other",
+            (F.col("n_context_other") >= min_context_hits).alias("valid"),
+        )
+    )

@@ -38,8 +38,7 @@ QUALITY_WEIGHTS = {"len": 0.4, "stop": 0.3, "alpha": 0.3}
 
 
 def _marker_hits(tokens: Column, markers: list[str]) -> Column:
-    quoted = [F.lit(m) for m in markers]
-    return F.size(F.filter(tokens, lambda t: t.isin(*[m for m in markers])))
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
 
 
 def lang_id(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:

@@ -18,6 +18,9 @@ Content design (FIXTURES.md §1):
   most docs (exercises salted SPIMI), deep tail is rare;
 - section headings (``requirements:``/``education:``/…) for
   section-weighting operators;
+- sentence punctuation (a period every SENT_WORDS words) so sentence
+  segmentation (P6) and ±w-sentence context windows (J4) operate on
+  real multi-sentence structure;
 - URLs, emails, hyphenated skills for the normalizer;
 - deterministic lang mix (~25% non-en) and 1-in-997 empty-text rows;
 - ``html`` wraps ``text`` in head/nav/footer boilerplate — the
@@ -68,6 +71,16 @@ def _u01(keys: np.ndarray) -> np.ndarray:
     return _splitmix64(keys).astype(np.float64) / float(2**64)
 
 
+SENT_WORDS = 8  # words per synthetic sentence
+
+
+def _sentence_join(ws) -> str:
+    """Join words into period-terminated sentences of SENT_WORDS words."""
+    return ". ".join(
+        " ".join(ws[j : j + SENT_WORDS]) for j in range(0, len(ws), SENT_WORDS)
+    )
+
+
 def synth_batch(ids: np.ndarray, seed: int, words_per_doc: int) -> pd.DataFrame:
     """Rows for the given doc ids — THE generator; pure (ids, seed) fn.
 
@@ -99,10 +112,10 @@ def synth_batch(ids: np.ndarray, seed: int, words_per_doc: int) -> pd.DataFrame:
             continue
         texts.append(
             f"{sec1[i]}: "
-            + " ".join(words[i, :half])
-            + " education: "
-            + " ".join(words[i, half:])
-            + f" {skills[i]} see https://example.com/p/{did}"
+            + _sentence_join(words[i, :half])
+            + ". education: "
+            + _sentence_join(words[i, half:])
+            + f". {skills[i]} see https://example.com/p/{did}"
             + f" mail team{did}@corp.example"
         )
     html = [(_HTML_PRE + t + _HTML_POST).encode() for t in texts]

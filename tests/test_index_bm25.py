@@ -149,22 +149,49 @@ def test_salted_index_rank_identical(spark, docs, tmp_path):
 
 
 def test_resume_skips_completed_buckets(spark, docs, tmp_path):
-    """Kill-and-resume: a crash mid-loop leaves some buckets committed
-    (parquet _SUCCESS) and no lineage yet; resume must rebuild only the
-    uncommitted bucket and recover lineage for the committed one."""
+    """Kill-and-resume: a crash mid-build leaves bucket 0 committed
+    (postings + lineage, both _SUCCESS-marked) and bucket 1 gone; resume
+    must rebuild ONLY bucket 1 — bucket 0's lineage row (and its
+    finished_ts) must survive untouched."""
     d1, d2 = str(tmp_path / "full"), str(tmp_path / "resumed")
     full = build_index(spark, docs, d1, CFG, url_col="source")
     build_index(spark, docs, d2, CFG, url_col="source")
+    ts_before = {
+        int(r["bucket"]): float(r["finished_ts"])
+        for r in load_index(spark, d2).lineage.collect()
+    }
     shutil.rmtree(f"{d2}/postings/bucket=1")  # bucket 1 never committed
-    shutil.rmtree(f"{d2}/_lineage")  # crash before the lineage append
+    shutil.rmtree(f"{d2}/_lineage/bucket=1")
     resumed = build_index(spark, docs, d2, CFG, resume=True, url_col="source")
-    lineage_buckets = sorted(
-        r["bucket"] for r in resumed.lineage.select("bucket").distinct().collect()
-    )
-    assert lineage_buckets == list(range(CFG.n_term_buckets))
+    lineage = {
+        int(r["bucket"]): float(r["finished_ts"]) for r in resumed.lineage.collect()
+    }
+    assert sorted(lineage) == list(range(CFG.n_term_buckets))
+    assert lineage[0] == ts_before[0], "bucket 0 was rebuilt despite a valid hash"
+    assert lineage[1] != ts_before[1]
     a = full.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
     b = resumed.postings.select("term_id", "segment", "block_id", "first_doc", "n", "max_tf")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_resume_rebuilds_on_corpus_change(spark, docs, tmp_path):
+    """Verified resume (reference verify-then-load checkpoint gate): if
+    the source corpus changed since the checkpoint, committed buckets'
+    input_hash no longer matches and the build must rebuild rather than
+    silently mix generations — including dictionary/docmeta/stats."""
+    d = str(tmp_path / "changing")
+    build_index(spark, docs, d, CFG, url_col="source")
+    changed = docs.filter(F.col("doc_id") % 7 != 3)  # drop some docs
+    resumed = build_index(spark, changed, d, CFG, resume=True, url_col="source")
+    fresh_dir = str(tmp_path / "fresh")
+    fresh = build_index(spark, changed, fresh_dir, CFG, url_col="source")
+    cols = ["term_id", "segment", "block_id", "first_doc", "n", "max_tf"]
+    a, b = resumed.postings.select(cols), fresh.postings.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    da = resumed.dictionary.select("term", "term_id", "df", "cf")
+    db = fresh.dictionary.select("term", "term_id", "df", "cf")
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+    assert resumed.stats_row()["n_docs"] == fresh.stats_row()["n_docs"]
 
 
 def test_multi_generation_rank_identical(spark, docs, tmp_path):
