@@ -759,18 +759,74 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_metadata(_docs(spark, sf_dir))
 
 
-@register("byte_histogram")  # no SQL oracle: verified by pytest vs numpy
+def _byte_hist_oracle() -> str:
+    """DuckDB byte histogram via the hex-nibble trick: byte>>5 equals the
+    byte's FIRST hex digit >> 1, so bin k counts odd-position chars of
+    hex(payload) in {hex(2k), hex(2k+1)} — no per-byte blob indexing."""
+    hexd = "0123456789ABCDEF"
+    cols = ",\n  ".join(
+        f"CAST(len(list_filter(nibs, c -> c IN ('{hexd[2 * k]}', '{hexd[2 * k + 1]}')))"
+        f" AS BIGINT) AS bin{k}"
+        for k in range(8)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx FROM documents),
+n AS (SELECT doc_id,
+             list_transform(range(CAST(length(hx) / 2 AS BIGINT)),
+                            i -> substr(hx, CAST(2 * i + 1 AS INTEGER), 1)) AS nibs
+      FROM h)
+SELECT doc_id, {cols} FROM n"""
+
+
+@register("byte_histogram", _byte_hist_oracle())
 def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_histogram(_docs(spark, sf_dir))
 
 
 from keywords4cv_spark.operators import canonicalize  # noqa: E402
 
+_CANON_FIXTURE = os.path.join(
+    tempfile.gettempdir(), f"k4cv_canon_fixture_{_ENGINE_V}"
+)
 
-@register("canonical_clusters")  # non-SQL (iterative DBSCAN): pytest-verified
+
+def _ensure_canon_fixture() -> str:
+    """Materialize the Spark-free numpy DBSCAN result over the sf0.01
+    embeddings as a parquet fixture (iterative clustering isn't one SQL
+    statement; the driver's oracle instead SELECTs this table, computed
+    by an independent implementation — same gate, different engine)."""
+    done = os.path.join(_CANON_FIXTURE, "_PANDAS_SUCCESS")
+    if os.path.exists(done):
+        return _CANON_FIXTURE
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
+    out = canonicalize.local_canonical_clusters(
+        emb["vec_id"].to_numpy(), list(emb["embedding"])
+    )
+    os.makedirs(_CANON_FIXTURE, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, preserve_index=False),
+        os.path.join(_CANON_FIXTURE, "part-0.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return _CANON_FIXTURE
+
+
+_ensure_canon_fixture()
+
+
+@register(
+    "canonical_clusters",
+    f"SELECT vec_id, bucket, cluster, rep_vec_id, cluster_size "
+    f"FROM '{_CANON_FIXTURE}/*.parquet'",
+)
 def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: LSH-bucketed embedding DBSCAN canonicalization (rows-only check;
-    exactness vs a local numpy oracle is pinned in tests/test_operators.py)."""
+    """A6: LSH-bucketed embedding DBSCAN canonicalization. Oracle = a
+    parquet fixture computed by the independent numpy twin
+    (local_canonical_clusters) over the same sf0.01 embeddings."""
     return canonicalize.canonical_clusters(_emb(spark, sf_dir))
 
 
@@ -885,7 +941,9 @@ def q_map_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- input_hint synthetic corpus (url/warc_ts/html/text/lang): the oracle
 # --- reads the SAME materialized parquet by absolute path ------------------
 
-_SYNTH_PATH = os.path.join(tempfile.gettempdir(), "k4cv_synth_oracle")
+# version-tagged: corpus content is part of the engine contract (sentence
+# punctuation added in 0.3.0) — a stale /tmp dir must never be reused
+_SYNTH_PATH = os.path.join(tempfile.gettempdir(), f"k4cv_synth_oracle_{_ENGINE_V}")
 _SYNTH_N = 2000
 _SYNTH_SEED = 7
 
@@ -943,6 +1001,121 @@ FROM d GROUP BY section""",
 )
 def q_section_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sections.section_stats(_synth(spark))
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation (P6), per-keyword sections (P8), context windows (J4)
+# — run on the synthetic input_hint corpus, which has real sentence
+# punctuation and section headings; oracles read the same parquet
+# ---------------------------------------------------------------------------
+
+from keywords4cv_spark.operators import sentences as sentops  # noqa: E402
+
+# filtered sentence list per doc (DuckDB): split on [.!?•]+, trim, drop
+# empties — identical rule to operators/sentences.py SENT_SPLIT
+_SENTS_SQL = (
+    "list_filter(list_transform(string_split_regex(text, '[.!?•]+'), "
+    "s -> trim(s)), s -> s != '')"
+)
+
+_SENT_CTES = f"""
+arrs AS (SELECT doc_id, {_SENTS_SQL} AS sents FROM '{_SYNTH_PATH}/*.parquet'),
+sent AS (SELECT doc_id, CAST(unnest(range(len(sents))) AS INTEGER) AS sent_idx,
+                unnest(sents) AS sentence
+         FROM arrs)
+"""
+
+_HEAD_RE_SQL = "(" + "|".join(sentops.HEADINGS) + "):"
+
+
+@register(
+    "sentence_stats",
+    f"""
+WITH {_SENT_CTES}
+SELECT doc_id, sent_idx,
+       CAST(len({tokens_sql("sentence")}) AS BIGINT) AS n_tokens
+FROM sent""",
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: per-sentence token counts over the synthetic corpus."""
+    return sentops.sentence_stats(_synth(spark), CFG)
+
+
+@register(
+    "keyword_sections",
+    f"""
+WITH segarr AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '{_HEAD_RE_SQL}', chr(1) || '\\1:', 'g'),
+                      chr(1)) AS arr
+  FROM '{_SYNTH_PATH}/*.parquet'
+),
+segs AS (SELECT doc_id, CAST(unnest(range(len(arr))) AS INTEGER) AS seg_idx,
+                unnest(arr) AS body
+         FROM segarr),
+keep AS (SELECT * FROM segs WHERE length(trim(body)) > 0),
+sec AS (SELECT doc_id, seg_idx,
+        CASE WHEN regexp_extract(body, '^{_HEAD_RE_SQL}', 1) = '' THEN 'general'
+             ELSE regexp_extract(body, '^{_HEAD_RE_SQL}', 1) END AS section,
+        body
+        FROM keep),
+toks AS (SELECT doc_id, seg_idx, section,
+                unnest({tokens_sql("body")}) AS term
+         FROM sec),
+{vocab.skills_values_cte()},
+hits AS (SELECT * FROM toks WHERE term IN (SELECT skill FROM skills)),
+first AS (SELECT doc_id, term, section,
+                 row_number() OVER (PARTITION BY doc_id, term ORDER BY seg_idx) AS rn
+          FROM hits)
+SELECT doc_id, term, section FROM first WHERE rn = 1""",
+)
+def q_keyword_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: nearest-preceding heading at each keyword's first occurrence
+    (reference keywords4cv.py:1499-1522)."""
+    return sentops.keyword_sections(spark, _synth(spark), CFG)
+
+
+@register(
+    "context_validated_terms",
+    f"""
+WITH {_SENT_CTES},
+toks AS (SELECT doc_id, sent_idx, unnest({tokens_sql("sentence")}) AS term FROM sent),
+{vocab.skills_values_cte()},
+hits AS (
+  SELECT doc_id, sent_idx, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE term IN (SELECT skill FROM skills)
+  GROUP BY doc_id, sent_idx, term
+),
+stot AS (SELECT doc_id, sent_idx, sum(cnt) AS s_tot FROM hits GROUP BY doc_id, sent_idx),
+wtot AS (
+  SELECT doc_id, sent_idx,
+         sum(s_tot) OVER (PARTITION BY doc_id ORDER BY sent_idx
+           RANGE BETWEEN {sentops.CONTEXT_WINDOW} PRECEDING
+                     AND {sentops.CONTEXT_WINDOW} FOLLOWING) AS w_tot
+  FROM stot
+),
+scored AS (
+  SELECT h.doc_id, h.sent_idx, h.term,
+         sum(h.cnt) OVER (PARTITION BY h.doc_id, h.term ORDER BY h.sent_idx
+           RANGE BETWEEN {sentops.CONTEXT_WINDOW} PRECEDING
+                     AND {sentops.CONTEXT_WINDOW} FOLLOWING) AS w_term
+  FROM hits h
+),
+j AS (
+  SELECT s.doc_id, s.term, s.sent_idx,
+         CAST(w.w_tot - s.w_term AS BIGINT) AS n_context_other
+  FROM scored s JOIN wtot w USING (doc_id, sent_idx)
+),
+first AS (SELECT *, row_number() OVER (PARTITION BY doc_id, term ORDER BY sent_idx) AS rn
+          FROM j)
+SELECT doc_id, term, CAST(sent_idx AS INTEGER) AS first_sent, n_context_other,
+       n_context_other >= {sentops.MIN_CONTEXT_HITS} AS valid
+FROM first WHERE rn = 1""",
+)
+def q_context_validated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (full): ±w-sentence context-window validation of whitelist
+    keywords (reference keywords4cv.py:1287-1303 + validation_utils)."""
+    return sentops.context_validated_terms(spark, _synth(spark), CFG)
 
 
 # ---------------------------------------------------------------------------

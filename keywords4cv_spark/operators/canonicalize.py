@@ -67,6 +67,69 @@ def dbscan_numpy(vecs: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     return labels
 
 
+def local_canonical_clusters(
+    vec_ids,
+    embeddings,
+    eps: float = 0.25,
+    min_samples: int = 2,
+    n_planes: int = 4,
+) -> pd.DataFrame:
+    """Spark-free twin of canonical_clusters (pure numpy/pandas).
+
+    Materializes the DuckDB fixture oracle for the driver's correctness
+    gate (iterative DBSCAN is not expressible in one SQL statement) and
+    doubles as the pytest oracle. Projections are summed strictly
+    left-to-right in float64 — the same order as Spark's ``aggregate``
+    expression — so bucket sign bits match bit-for-bit.
+    """
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in embeddings])
+    n, d = mat.shape
+    signs = np.array(
+        [
+            [1.0 if (31 * i + 17 * j) % 2 == 0 else -1.0 for i in range(d)]
+            for j in range(n_planes)
+        ]
+    )
+    buckets = np.zeros(n, dtype=np.int32)
+    for r in range(n):
+        b = 0
+        for j in range(n_planes):
+            acc = 0.0
+            row = mat[r] * signs[j]
+            for x in row:  # sequential sum == Spark aggregate order
+                acc += float(x)
+            if acc > 0:
+                b |= 1 << j
+        buckets[r] = b
+    frames = []
+    for b in sorted(set(buckets.tolist())):
+        sel = np.nonzero(buckets == b)[0]
+        order = sel[np.argsort(ids[sel], kind="stable")]
+        labels = dbscan_numpy(mat[order], eps, min_samples)
+        sub = pd.DataFrame(
+            {
+                "vec_id": ids[order].astype("int64"),
+                "bucket": np.int32(b),
+                "cluster": labels.astype("int32"),
+            }
+        )
+        reps = (
+            sub[sub.cluster >= 0]
+            .groupby("cluster")["vec_id"]
+            .agg(["min", "count"])
+            .rename(columns={"min": "rep_vec_id", "count": "cluster_size"})
+        )
+        sub = sub.merge(reps, left_on="cluster", right_index=True, how="left")
+        noise = sub.cluster < 0
+        sub.loc[noise, "rep_vec_id"] = sub.loc[noise, "vec_id"]
+        sub.loc[noise, "cluster_size"] = 1
+        sub["rep_vec_id"] = sub["rep_vec_id"].astype("int64")
+        sub["cluster_size"] = sub["cluster_size"].astype("int32")
+        frames.append(sub)
+    return pd.concat(frames, ignore_index=True)
+
+
 def canonical_clusters(
     emb: DataFrame,
     eps: float = 0.25,
