@@ -38,7 +38,6 @@ def main() -> None:
 
     cfg = EngineConfig(
         n_term_buckets=4,
-        skew_df_threshold=20_000 if sf >= 0.1 else 1_500,
         n_salts=8,
         shuffle_partitions=cpus,
     )

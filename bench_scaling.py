@@ -84,7 +84,7 @@ def worker(cpus: int, corpus: str) -> None:
         master=f"local[{cpus}]", app_name=f"k4cv-scale-{cpus}", shuffle_partitions=cpus
     )
     cfg = EngineConfig(
-        n_term_buckets=4, skew_df_threshold=20_000, n_salts=8, shuffle_partitions=cpus
+        n_term_buckets=4, n_salts=8, shuffle_partitions=cpus
     )
     docs = spark.read.parquet(corpus)
     n_docs = docs.count()

@@ -24,6 +24,8 @@ Everything is DataFrame/Catalyst-first; Python appears only in
 vectorized Arrow-batched UDFs (never per-row).
 """
 
-__version__ = "0.3.0"
+# NB 0.4.0: postings `segment` became a doc band (doc_id % n_salts) —
+# 0.3.x indexes are layout-incompatible with band-grouped query plans
+__version__ = "0.4.0"
 
 from keywords4cv_spark.config import EngineConfig  # noqa: F401

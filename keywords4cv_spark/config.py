@@ -45,8 +45,10 @@ class EngineConfig:
     store_positions: bool = False   # positional postings (phrase queries)
     block_size: int = 128           # postings per compressed block
     n_term_buckets: int = 8         # checkpoint/lineage unit (term_id % n)
-    skew_df_threshold: int = 10_000  # df above which a term is "head"
-    n_salts: int = 8                # salted segments per head term
+    # doc bands: segment = doc_id % n_salts for every term — bounds head-
+    # term encode groups AND gives query-time per-band parallelism with an
+    # exact rank-merge (the bands partition the doc space for all terms)
+    n_salts: int = 8
     shuffle_partitions: int = 32
 
     def __post_init__(self) -> None:

@@ -136,9 +136,6 @@ def _index_for(spark: SparkSession, sf_dir: str):
         )
         cfg = EngineConfig(
             n_term_buckets=4,
-            # exercise the salted-segment path at every sf (head-term df is
-            # ~200 at sf0.01, ~2000 at sf0.1)
-            skew_df_threshold=150,
             n_salts=4,
         )
         docs = _docs(spark, sf_dir)
@@ -1370,7 +1367,7 @@ def _pos_index_for(spark: SparkSession, sf_dir: str):
             sf_dir.strip("/").replace("/", "_"),
         )
         cfg = EngineConfig(
-            n_term_buckets=4, skew_df_threshold=150, n_salts=4, store_positions=True
+            n_term_buckets=4, n_salts=4, store_positions=True
         )
         _POS_INDEX_CACHE[sf_dir] = build_index(
             spark, _docs(spark, sf_dir), base, cfg, url_col="source"
@@ -1402,7 +1399,7 @@ def _generations_for(spark: SparkSession, sf_dir: str):
         base = os.path.join(
             tempfile.gettempdir(), f"k4cv_index_gens_{_ENGINE_V}", sf_dir.strip("/").replace("/", "_")
         )
-        cfg = EngineConfig(n_term_buckets=2, skew_df_threshold=150, n_salts=4)
+        cfg = EngineConfig(n_term_buckets=2, n_salts=4)
         docs = _docs(spark, sf_dir)
         gens = [
             build_index(

@@ -8,9 +8,13 @@ DTM build) into a distributed Spark build:
    → tokens (JVM expr chain, textprep.spark_exprs)
    → explode → groupBy(doc_id, term).count() = tf       [shuffle 1]
    → dictionary: groupBy(term) df/cf + deterministic term_id
-   → skew split: head terms (df > threshold) get `n_salts` segments
-     keyed by pmod(xxhash64(doc_id), n_salts) — Zipf head terms
-     ("the") otherwise serialize one reducer (SURVEY.md §4.2.1)
+   → doc-band split: EVERY term's postings are segmented by
+     segment = pmod(doc_id, n_salts). This (a) bounds the encode group
+     of a Zipf head term ("the") that would otherwise serialize one
+     reducer (SURVEY.md §4.2.1), and (b) makes segments a PARTITION of
+     the doc space shared by all terms — so query-time WAND/phrase can
+     run per (query, segment) band in parallel and rank-merge exactly
+     (a doc's postings for every query term share one band)
    → repartition(term_id, segment) → applyInPandas encode blocks
      (delta-gap + varbyte + exact per-block max BM25 contribution)
    → parquet tables: dictionary / postings / docmeta / stats / _lineage
@@ -294,15 +298,15 @@ def build_index(
     dictionary = build_dictionary(tf_df).persist()
 
     # --- postings per term bucket, with lineage + verified resume ---
+    # segment = doc band: pmod(doc_id, n_salts) for EVERY term. Head-term
+    # skew is bounded by construction, and because the bands partition the
+    # doc space identically for all terms, query-time scoring parallelizes
+    # per (query, band) with an exact rank-merge (query/wand.py). A tail
+    # term pays at most n_salts-1 extra (tiny) blocks — noise against the
+    # head terms that dominate postings volume.
     posted = (
         tf_df.join(dictionary.select("term", "term_id", "df"), "term")
-        .withColumn(
-            "segment",
-            F.when(
-                F.col("df") > cfg.skew_df_threshold,
-                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salts)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
+        .withColumn("segment", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int"))
         .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets)).cast("int"))
         .persist()
     )

@@ -7,10 +7,13 @@ the positional-postings generalization of the reference's exact
 keyword match (SURVEY.md T4/G1 family).
 
 Spark shape mirrors wand.py: phrase terms ⋈ dictionary (broadcast) →
-postings pruned by bucket + term_id → ``groupBy(phrase).applyInPandas``
-decoding only the matched terms' blocks; numpy set intersection inside.
-Salted segments need no special handling (a doc's positions for a term
-live wholly in that term's one segment).
+postings pruned by bucket + term_id →
+``groupBy(phrase, segment).applyInPandas`` decoding only the matched
+terms' blocks; numpy set intersection inside. Segments are doc bands
+(segment = doc_id % n_salts for every term), so a doc's positions for
+ALL phrase terms live in one (phrase, segment) group — the per-band
+outputs are disjoint per doc and their union is the exact answer,
+with n_salts-way parallelism per phrase.
 """
 
 from __future__ import annotations
@@ -107,6 +110,6 @@ def phrase_search(
             }
         )
 
-    return blocks.groupBy("phrase").applyInPandas(
+    return blocks.groupBy("phrase", "segment").applyInPandas(
         match, "phrase string, doc_id long, n_occurrences long"
     )

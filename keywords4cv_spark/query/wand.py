@@ -11,13 +11,17 @@ top-k with two pruning levels —
 Spark shape: query terms ⋈ dictionary (broadcast) → postings filtered
 by term_id (file/bucket-pruned; at cluster scale the postings table is
 laid out by term bucket so only matching files are scanned) →
-``groupBy(query_id).applyInPandas(bmw)`` — one Arrow batch per query,
-numpy inside, final TakeOrderedAndProject via rank_topk.
+``groupBy(query_id, segment).applyInPandas(bmw)`` → rank-merge.
 
-Salted head terms arrive as multiple segments (disjoint doc-id runs);
-each (term, segment) is an independent cursor with the same idf —
-WAND over a segmented index needs no merge pass, and scores are
-unaffected because a doc appears in exactly one segment per term.
+Segments are DOC BANDS (segment = doc_id % n_salts at build time, the
+same partition of the doc space for every term), so the (query, band)
+groups are independent exact WAND problems: a doc's postings for all
+query terms share one band. Each band emits its local top-k; the
+global top-k is a subset of the union (fewer than k docs beat a global
+top-k doc overall, hence within its band), so rank_topk over the
+union of partials is EXACT. This keeps a Zipf head term ("the") from
+funneling a query's whole block set into one Arrow task — query-time
+parallelism is n_salts × n_queries (VERDICT r1 #6).
 
 Rank-identity vs the brute-force scorer (and the DuckDB oracle): the
 final ordering everywhere is (round(score, 6) DESC, doc_id ASC). The
@@ -224,9 +228,11 @@ def bm25_wand(
     )
 
     def bmw(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one (query, doc-band) group: segment is constant here, so each
+        # term contributes exactly one cursor
         qid = int(pdf["query_id"].iloc[0])
         cursors = []
-        for (_, _), g in pdf.groupby(["term_id", "segment"], sort=True):
+        for _, g in pdf.groupby("term_id", sort=True):
             df_val = int(g["df"].iloc[0])
             idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
             cursors.append(
@@ -248,7 +254,9 @@ def bm25_wand(
             }
         )
 
-    scored = blocks.groupBy("query_id").applyInPandas(
+    # partial top-k per (query, doc band) — n_salts parallel tasks per
+    # query — then an exact rank-merge of the small partials
+    scored = blocks.groupBy("query_id", "segment").applyInPandas(
         bmw, "query_id long, doc_id long, score double"
     )
     return rank_topk(scored, k)
@@ -340,9 +348,12 @@ def bm25_wand_multi(
     df_b = spark.sparkContext.broadcast(df_total)
 
     def bmw(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one (query, doc-band) group; cursors per (term, generation) —
+        # generations have disjoint doc spaces, and a doc's band is
+        # constant within its generation, so the band partials are exact
         qid = int(pdf["query_id"].iloc[0])
         cursors = []
-        for (term, _, _), g in pdf.groupby(["term", "gen", "segment"], sort=True):
+        for (term, _), g in pdf.groupby(["term", "gen"], sort=True):
             df_val = df_b.value[term]
             idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
             max_tf = g["max_tf"].to_numpy(np.int64)
@@ -365,7 +376,7 @@ def bm25_wand_multi(
             }
         )
 
-    scored = allblocks.groupBy("query_id").applyInPandas(
+    scored = allblocks.groupBy("query_id", "segment").applyInPandas(
         bmw, "query_id long, doc_id long, score double"
     )
     return rank_topk(scored, k)

@@ -130,17 +130,23 @@ def test_wand_many_random_queries(spark, docs, index):
 
 
 def test_salted_index_rank_identical(spark, docs, tmp_path):
-    """Zipf skew path: force salting of head terms; WAND must still be
-    rank-identical and segments must actually exist (SURVEY.md §4.2.1)."""
+    """Doc-band segmentation (SURVEY.md §4.2.1 / VERDICT r1 #6): head
+    terms of the Zipf corpus must span >1 segment — so a query touching
+    them fans out to >1 (query, band) task — and the rank-merged WAND
+    result must stay rank-identical to brute force."""
     cfg = EngineConfig(
-        n_term_buckets=2, shuffle_partitions=8, skew_df_threshold=20, n_salts=4
+        n_term_buckets=2, shuffle_partitions=8, n_salts=4
     )
     idx = build_index(spark, docs, str(tmp_path / "salted"), cfg, url_col="source")
-    n_segments = (
-        idx.postings.select("term_id", "segment").distinct()
-        .groupBy("term_id").count().filter(F.col("count") > 1).count()
+    # the Zipf head term "the" appears in most docs → all 4 doc bands
+    head_id = [
+        r["term_id"] for r in idx.dictionary.filter(F.col("term") == "the").collect()
+    ][0]
+    head_segments = (
+        idx.postings.filter(F.col("term_id") == head_id)
+        .select("segment").distinct().count()
     )
-    assert n_segments > 0, "salting never triggered — test is vacuous"
+    assert head_segments == cfg.n_salts, "head term does not span all doc bands"
     brute = _collect(bm25_brute_force(spark, docs, cfg))
     wand = _collect(bm25_wand(spark, idx, cfg))
     assert set(brute) == set(wand)
