@@ -4,10 +4,18 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Usage: python bench.py            # sf0.1, local[32] (env-overridable)
        SPARK_GRAFT_CPUS=8 python bench.py   # scaling-efficiency runs
+       SPARK_GRAFT_REPEATS=3 python bench.py
 
 Headline metrics (BASELINE.json): index-build docs/sec, BM25 top-k
 latency (brute force and Block-Max WAND). Per-query wall seconds go in
 "queries"; "value" is the total.
+
+Each query is timed SPARK_GRAFT_REPEATS times (default 2) and the
+minimum is reported: 48+ queries share one JVM, so a single pass mixes
+JIT warmup, Python-worker spin-up and GC debt from earlier queries
+into later timings (r1 recorded a 40 s dedup_exact that reruns at
+3 s). The min is the steady-state number a warmed cluster would see;
+"queries_first" keeps the cold pass for transparency.
 """
 
 from __future__ import annotations
@@ -44,50 +52,59 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs_total = docs.count()
 
-    timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    runs: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
-    # --- index build throughput + compression ---
-    idx_dir = tempfile.mkdtemp(prefix="k4cv_bench_idx_")
-    t0 = time.perf_counter()
-    index = build_index(spark, docs, idx_dir, cfg, url_col="source")
-    timings["index_build"] = time.perf_counter() - t0
-    extras["index_docs_per_sec"] = n_docs_total / timings["index_build"]
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        runs.setdefault(name, []).append(time.perf_counter() - t0)
 
     from pyspark.sql import functions as F
 
-    payload_bytes = int(
-        index.lineage.agg(F.coalesce(F.sum("payload_bytes"), F.lit(0))).collect()[0][0]
-    )
-    text_bytes = int(docs.agg(F.sum(F.length("text"))).collect()[0][0])
-    extras["postings_payload_bytes"] = payload_bytes
-    extras["raw_text_bytes"] = text_bytes
+    index = None
+    for rep in range(repeats):
+        # --- index build throughput + compression (fresh dir per repeat) ---
+        idx_dir = tempfile.mkdtemp(prefix="k4cv_bench_idx_")
 
-    # --- BM25 query latency (fixture query set) ---
-    t0 = time.perf_counter()
-    bm25_brute_force(spark, docs, cfg).count()
-    timings["bm25_brute_force"] = time.perf_counter() - t0
+        def build():
+            nonlocal index
+            index = build_index(spark, docs, idx_dir, cfg, url_col="source")
 
-    t0 = time.perf_counter()
-    bm25_wand(spark, index, cfg).count()
-    timings["bm25_wand"] = time.perf_counter() - t0
+        timed("index_build", build)
+        if rep == 0:
+            payload_bytes = int(
+                index.lineage.agg(
+                    F.coalesce(F.sum("payload_bytes"), F.lit(0))
+                ).collect()[0][0]
+            )
+            text_bytes = int(docs.agg(F.sum(F.length("text"))).collect()[0][0])
+            extras["postings_payload_bytes"] = payload_bytes
+            extras["raw_text_bytes"] = text_bytes
 
-    # --- remaining registry queries (skip the two already timed) ---
-    skip = {"bm25_topk", "bm25_wand_topk"}
-    for name in sorted(QUERIES):
-        if name in skip:
-            continue
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = time.perf_counter() - t0
+        # --- BM25 query latency (fixture query set) ---
+        timed("bm25_brute_force", lambda: bm25_brute_force(spark, docs, cfg).count())
+        timed("bm25_wand", lambda: bm25_wand(spark, index, cfg).count())
 
-    shutil.rmtree(idx_dir, ignore_errors=True)
+        # --- remaining registry queries (skip the two already timed) ---
+        skip = {"bm25_topk", "bm25_wand_topk"}
+        for name in sorted(QUERIES):
+            if name in skip:
+                continue
+            timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    timings = {k: min(v) for k, v in runs.items()}
+    extras["index_docs_per_sec"] = n_docs_total / timings["index_build"]
 
     out = {
-        "metric": "headline suite wall time (index build + BM25 top-k + operator queries)",
+        "metric": "headline suite wall time (index build + BM25 top-k + operator queries; min of repeats)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_first": {k: round(v[0], 3) for k, v in runs.items()},
+        "repeats": repeats,
         "sf": sf,
         "cpus": cpus,
         "n_docs": n_docs_total,

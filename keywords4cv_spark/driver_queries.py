@@ -296,6 +296,49 @@ def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoring.fuzzy_resolve(spark, _docs(spark, sf_dir), cfg=CFG)
 
 
+def _sql_ratio(a: str, b: str) -> str:
+    return (
+        f"round(100.0 * (1.0 - levenshtein({a}, {b})"
+        f" / greatest(length({a}), length({b}))), 2)"
+    )
+
+
+def _sql_tsort(s: str) -> str:
+    return f"array_to_string(list_sort(string_split({s}, ' ')), ' ')"
+
+
+def _sql_tset(s: str) -> str:
+    return f"array_to_string(list_sort(list_distinct(string_split({s}, ' '))), ' ')"
+
+
+@register(
+    "fuzzy_match_scores",
+    f"""
+WITH d AS ({_EN_TOKS}),
+big_all AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+),
+big AS (SELECT bigram, count(*) AS n FROM big_all GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 200),
+p(probe) AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in vocab.FUZZY_PHRASE_PROBES)}) v),
+scored AS (
+  SELECT probe, bigram,
+         {_sql_ratio("probe", "bigram")} AS ratio,
+         {_sql_ratio(_sql_tsort("probe"), _sql_tsort("bigram"))} AS token_sort_ratio,
+         {_sql_ratio(_sql_tset("probe"), _sql_tset("bigram"))} AS token_set_ratio
+  FROM big, p
+)
+SELECT probe, bigram, ratio, token_sort_ratio, token_set_ratio
+FROM scored WHERE token_sort_ratio >= 60.0""",
+)
+def q_fuzzy_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 multi-scorer family (reference FUZZY_MATCHERS dispatch):
+    ratio / token_sort_ratio / token_set_ratio over corpus bigrams."""
+    return scoring.fuzzy_match_scores(spark, _docs(spark, sf_dir), cfg=CFG)
+
+
 @register(
     "abbrev_expanded_counts",
     f"""
@@ -1418,3 +1461,26 @@ def q_bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-index BM25 oracle because the merge is rank-exact."""
     gens = _generations_for(spark, sf_dir)
     return bm25_wand_multi(spark, gens, CFG, TOP_K)
+
+
+_COMPACT_CACHE: dict[str, object] = {}
+
+
+@register("bm25_compacted_topk", _bm25_oracle(CFG.k1, CFG.b, TOP_K))
+def q_bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM compaction end-to-end: merge the two generations at the block
+    level (no re-tokenization), query the compacted index, and match the
+    full-corpus SQL oracle — the strongest compaction-correctness check
+    available."""
+    from keywords4cv_spark.index.compact import compact_generations
+
+    if sf_dir not in _COMPACT_CACHE:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"k4cv_index_compact_{_ENGINE_V}",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        gens = _generations_for(spark, sf_dir)
+        cfg = EngineConfig(n_term_buckets=2, n_salts=4)
+        _COMPACT_CACHE[sf_dir] = compact_generations(spark, gens, base, cfg)
+    return bm25_wand(spark, _COMPACT_CACHE[sf_dir], CFG, TOP_K)

@@ -1,0 +1,174 @@
+"""Generation compaction: merge N index generations into one index by
+decoding + re-encoding posting blocks — never re-tokenizing the corpus.
+
+The LSM story's missing half (SURVEY.md §7.1 / VERDICT r1 #9): crawl
+batches become small append-only generations (index/build.py), queries
+merge them at read time (query/wand.py bm25_wand_multi), and when
+generations pile up this operator compacts them:
+
+- dictionary: union-aggregate of generation dictionaries (df/cf sums —
+  exact, doc spaces are disjoint) with fresh parallel term ids
+  (assign_term_ids);
+- stats: n_docs/sum_dl sums, avgdl recomputed exactly (sum_dl is kept
+  as an integer precisely for this);
+- postings: per (term, doc-band) group across all generations, decode
+  the blocks, concatenate (disjoint doc ids, sorted), re-encode with
+  the COMBINED statistics — block-max scores are exact again, not the
+  conservative tf-only bounds bm25_wand_multi must use;
+- the compacted tree is written in the same layout build_index
+  produces, so load_index / bm25_wand / phrase_search work unchanged.
+  The commit unit is the whole compaction (one _SUCCESS per table) —
+  the Iceberg-snapshot analog for a one-shot rewrite.
+
+Scale: one dictionary-aggregate shuffle + one (term, band) group-merge
+shuffle over compressed blocks. Payload bytes move exactly once; the
+corpus text is never touched.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.index.build import (
+    LINEAGE_SCHEMA,
+    POSTINGS_SCHEMA,
+    IndexTables,
+    assign_term_ids,
+    load_index,
+)
+from keywords4cv_spark.index.codec import decode_block, encode_postings
+
+
+def compact_generations(
+    spark: SparkSession,
+    indexes: list[IndexTables],
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> IndexTables:
+    """Merge ``indexes`` (disjoint doc spaces) into one index at out_dir."""
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- combined stats (exact integer arithmetic) ---
+    n_docs, sum_dl = 0, 0
+    for idx in indexes:
+        srow = idx.stats_row()
+        n_docs += int(srow["n_docs"])
+        sum_dl += int(srow["sum_dl"])
+    avgdl = sum_dl / n_docs
+    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+
+    # --- merged dictionary with fresh parallel ids ---
+    alldicts = None
+    for idx in indexes:
+        d = idx.dictionary.select("term", "df", "cf")
+        alldicts = d if alldicts is None else alldicts.unionByName(d)
+    agg = alldicts.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    ids = assign_term_ids(agg)
+    newdict = ids.select("term", "term_id", "df", "cf").persist()
+    newdict.write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+
+    # --- docmeta union ---
+    allmeta = None
+    for idx in indexes:
+        m = idx.docmeta
+        allmeta = m if allmeta is None else allmeta.unionByName(
+            m, allowMissingColumns=True
+        )
+    allmeta.write.mode("overwrite").parquet(f"{out_dir}/docmeta")
+
+    spark.createDataFrame(
+        [(n_docs, avgdl, sum_dl, k1, b, cfg.n_term_buckets, 0)],
+        "n_docs long, avgdl double, sum_dl long, k1 double, b double, "
+        "n_term_buckets int, input_hash long",
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+
+    # --- posting merge: old blocks → (term, band) groups → re-encode ---
+    allblocks = None
+    for idx in indexes:
+        blk = idx.postings.join(
+            idx.dictionary.select("term_id", "term"), "term_id"
+        ).select("term", "segment", "first_doc", "n", "payload")
+        allblocks = blk if allblocks is None else allblocks.unionByName(blk)
+    joined = allblocks.join(
+        newdict.select("term", F.col("term_id").alias("new_term_id"), "df"), "term"
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_id = int(pdf["new_term_id"].iloc[0])
+        segment = int(pdf["segment"].iloc[0])
+        df_val = int(pdf["df"].iloc[0])
+        docs_l, tfs_l, dls_l = [], [], []
+        for _, row in pdf.iterrows():
+            d, t, ln = decode_block(row["payload"], int(row["n"]), int(row["first_doc"]))
+            docs_l.append(d)
+            tfs_l.append(t)
+            dls_l.append(ln)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
+        blocks = encode_postings(docs, tfs, dls, idf, k1, b, avgdl, block_size)
+        out = pd.DataFrame(blocks)
+        out.insert(0, "segment", segment)
+        out.insert(0, "term_id", term_id)
+        return out
+
+    merged = (
+        joined.repartition(cfg.shuffle_partitions, "new_term_id", "segment")
+        .groupBy("new_term_id", "segment")
+        .applyInPandas(merge_group, POSTINGS_SCHEMA)
+        .withColumn(
+            "bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets)).cast("int")
+        )
+    )
+    merged.sortWithinPartitions("term_id", "segment", "block_id").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out_dir}/postings")
+
+    # --- lineage: one batched read-back job over the compacted tree ---
+    bstats = (
+        spark.read.option("basePath", f"{out_dir}/postings")
+        .parquet(f"{out_dir}/postings")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("rows"),
+            F.count("*").alias("n_blocks"),
+            F.countDistinct("term_id").alias("n_terms"),
+            F.coalesce(F.sum(F.length("payload")), F.lit(0)).alias("payload_bytes"),
+        )
+        .collect()
+    )
+    for r in bstats:
+        row = pd.DataFrame(
+            [
+                {
+                    "status": "complete",
+                    "rows": int(r["rows"]),
+                    "n_blocks": int(r["n_blocks"]),
+                    "n_terms": int(r["n_terms"]),
+                    "payload_bytes": int(r["payload_bytes"]),
+                    "input_hash": 0,
+                    "started_ts": 0.0,
+                    "finished_ts": 0.0,
+                }
+            ]
+        )
+        spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/_lineage/bucket={int(r['bucket'])}")
+    newdict.unpersist()
+    staged = getattr(ids, "_k4cv_staged", None)
+    if staged is not None:
+        staged.unpersist()
+    return load_index(spark, out_dir)

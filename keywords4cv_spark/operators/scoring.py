@@ -141,6 +141,88 @@ def fuzzy_resolve(
     )
 
 
+def _ratio_col(a, b):
+    """Similarity ratio in [0, 100]: 100·(1 − lev(a,b)/max(|a|,|b|)).
+
+    Engine re-specification of the reference's rapidfuzz ``ratio``
+    (keywords4cv.py:718-724 FUZZY_MATCHERS dispatch) on the classic
+    Levenshtein distance, which Spark and DuckDB define identically —
+    the determinism requirement trumps indel-vs-substitution fidelity.
+    """
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.round(
+        100.0 * (F.lit(1.0) - F.levenshtein(a, b) / denom), 2
+    )
+
+
+def _token_sort_col(s):
+    return F.concat_ws(" ", F.array_sort(F.split(s, " ")))
+
+
+def _token_set_col(s):
+    return F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(s, " "))))
+
+
+FUZZY_SCORERS = ("ratio", "token_sort_ratio", "token_set_ratio")
+
+
+def fuzzy_score_col(scorer: str, a, b):
+    """Configurable fuzzy scorer dispatch (reference FUZZY_MATCHERS):
+    ratio / token_sort_ratio (order-insensitive) / token_set_ratio
+    (order- and multiplicity-insensitive). All pure column expressions.
+    """
+    if scorer == "ratio":
+        return _ratio_col(a, b)
+    if scorer == "token_sort_ratio":
+        return _ratio_col(_token_sort_col(a), _token_sort_col(b))
+    if scorer == "token_set_ratio":
+        return _ratio_col(_token_set_col(a), _token_set_col(b))
+    raise ValueError(f"unknown fuzzy scorer {scorer!r}")
+
+
+def fuzzy_match_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    probes: list[str] | None = None,
+    min_token_sort: float = 60.0,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    top_bigrams: int = 200,
+) -> DataFrame:
+    """(probe, bigram, ratio, token_sort_ratio, token_set_ratio) over the
+    corpus's top bigrams — multi-word fuzzy matching where the three
+    scorers genuinely diverge (word-order swaps, duplicated words).
+    Candidates are the top-N bigrams (broadcast-sized); probes broadcast.
+    """
+    probes = probes if probes is not None else vocab.FUZZY_PHRASE_PROBES
+    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    toks = tokenized_docs(docs, cfg)
+    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        pos.withColumn("nxt", F.lead("t").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "t", "nxt").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(top_bigrams)
+        .select("bigram")
+    )
+    pairs = bigrams.crossJoin(F.broadcast(pdf))
+    scored = pairs.select(
+        "probe",
+        "bigram",
+        fuzzy_score_col("ratio", F.col("probe"), F.col("bigram")).alias("ratio"),
+        fuzzy_score_col("token_sort_ratio", F.col("probe"), F.col("bigram")).alias(
+            "token_sort_ratio"
+        ),
+        fuzzy_score_col("token_set_ratio", F.col("probe"), F.col("bigram")).alias(
+            "token_set_ratio"
+        ),
+    )
+    return scored.filter(F.col("token_sort_ratio") >= min_token_sort)
+
+
 def expand_abbreviations(
     spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

@@ -17,6 +17,11 @@ periodically folded into the main index.
   relation ``index.build.term_frequencies`` produces, so a periodic
   compaction is just ``build_index`` over (old docs ∪ staged docs) —
   Iceberg snapshot semantics at sandbox scale.
+- ``sessionize_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user gap sessionization whose closed
+  sessions match the batch window-sum sessionizer
+  (operators/relational.events_sessionized) exactly; open sessions ride
+  in state across micro-batches.
 """
 
 from __future__ import annotations
@@ -68,6 +73,79 @@ def stage_postings_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "session_start timestamp, session_end timestamp, session_value double"
+)
+# state rides across micro-batches: the OPEN session per user
+SESSION_STATE_SCHEMA = (
+    "session_id long, n_events long, start_us long, last_us long, value double"
+)
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Stateful gap sessionization (applyInPandasWithState).
+
+    Semantics match the batch sessionizer
+    (operators/relational.events_sessionized): a new session starts when
+    the gap to the previous event of the same user exceeds
+    ``gap_seconds``; session ids are 1-based per user in time order.
+    CLOSED sessions are emitted as soon as the event that supersedes
+    them arrives; the still-open session lives in per-user state until
+    a later micro-batch closes it. Parallelism: state is hash-
+    partitioned by user_id — the standard Spark stateful-shuffle shape.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        if state.exists:
+            sid, n, start_us, last_us, value = state.get
+        else:
+            sid, n, start_us, last_us, value = 0, 0, 0, 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                t_us = int(pd.Timestamp(ts).value // 1_000)
+                if n == 0 or t_us - last_us > gap_seconds * 1_000_000:
+                    if n > 0:
+                        closed.append((sid, n, start_us, last_us, value))
+                    sid, n, start_us, value = sid + 1, 0, t_us, 0.0
+                n += 1
+                last_us = t_us
+                value += float(val)
+        state.update((sid, n, start_us, last_us, value))
+        if not closed:
+            return iter([])
+        out = pd.DataFrame(
+            closed, columns=["session_id", "n_events", "start_us", "last_us", "value"]
+        )
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "session_id": out["session_id"].astype("int64"),
+                        "n_events": out["n_events"].astype("int64"),
+                        "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                        "session_end": pd.to_datetime(out["last_us"], unit="us"),
+                        "session_value": out["value"].astype("float64"),
+                    }
+                )
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 

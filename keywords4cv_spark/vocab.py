@@ -34,6 +34,10 @@ ABBREVIATIONS: list[tuple[str, str]] = [
 # J3 fuzzy probes: misspellings to resolve against the corpus vocabulary
 FUZZY_PROBES: list[str] = ["spak", "merg", "windw", "vektor", "qqqqq", "tabel"]
 
+# J3 phrase probes for the multi-scorer family (ratio/token_sort/token_set):
+# word swaps and duplicates are where the three scorers diverge
+FUZZY_PHRASE_PROBES: list[str] = ["join merge", "scan tabel", "data data"]
+
 # O3 per-field weights (reference section_weights, config.yaml:74-78),
 # keyed on the documents.source column at sandbox scale
 FIELD_WEIGHTS: list[tuple[str, float]] = [

@@ -200,6 +200,41 @@ def test_resume_rebuilds_on_corpus_change(spark, docs, tmp_path):
     assert resumed.stats_row()["n_docs"] == fresh.stats_row()["n_docs"]
 
 
+def test_compaction_equals_full_rebuild(spark, docs, tmp_path):
+    """Block-level compaction of two generations must produce byte-level
+    the same postings as one full build over the union: same n_salts →
+    identical (term, band) runs; deterministic term ids → identical
+    block splits, bounds and payloads."""
+    from keywords4cv_spark.index.compact import compact_generations
+
+    gen1 = build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "cg1"), CFG,
+        url_col="source",
+    )
+    gen2 = build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), str(tmp_path / "cg2"), CFG,
+        url_col="source",
+    )
+    compacted = compact_generations(spark, [gen1, gen2], str(tmp_path / "cmp"), CFG)
+    full = build_index(spark, docs, str(tmp_path / "cfull"), CFG, url_col="source")
+    cols = [
+        "term_id", "segment", "block_id", "first_doc", "last_doc",
+        "n", "max_tf", "max_score", "payload",
+    ]
+    a, b = compacted.postings.select(cols), full.postings.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    da = compacted.dictionary.select("term", "term_id", "df", "cf")
+    db = full.dictionary.select("term", "term_id", "df", "cf")
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+    assert compacted.stats_row()["n_docs"] == full.stats_row()["n_docs"]
+    # and the compacted index answers queries rank-identically
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    wand = _collect(bm25_wand(spark, compacted, CFG))
+    assert set(brute) == set(wand)
+    for key in brute:
+        assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
+
+
 def test_multi_generation_rank_identical(spark, docs, tmp_path):
     """Incremental story: two disjoint-generation indexes queried together
     must be rank-identical to brute force over the union (and therefore

@@ -53,6 +53,60 @@ def test_windowed_term_counts_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_sessionize_matches_batch(spark, tmp_path, sf_dir):
+    """applyInPandasWithState sessionization == batch sessionizer on the
+    CLOSED sessions (each user's final session is still open in state).
+    Two time-ordered micro-batches force state to cross batches."""
+    import time as _time
+
+    from keywords4cv_spark.operators.relational import events_sessionized
+    from keywords4cv_spark.streaming.incremental import sessionize_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    cut = events.select(
+        F.percentile(epoch, F.lit(0.5)).alias("p")
+    ).collect()[0]["p"]
+    in_dir = str(tmp_path / "ev_stream")
+    events.filter(epoch <= cut).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    _time.sleep(1.1)  # file mod-time orders the micro-batches
+    events.filter(epoch > cut).coalesce(1).write.mode("append").parquet(in_dir)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end,
+                                    round(r.session_value, 6))
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    batch = events_sessionized(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    last = Window.partitionBy("user_id")
+    closed_batch = batch.withColumn(
+        "max_sid", F.max("session_id").over(last)
+    ).filter(F.col("session_id") < F.col("max_sid"))
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end,
+                                    round(r.session_value, 6))
+        for r in closed_batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_staged_postings_equal_batch_tf(spark, tmp_path):
     path, schema = _write_stream_input(spark, tmp_path)
     staging = str(tmp_path / "staging")
