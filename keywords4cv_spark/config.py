@@ -50,6 +50,11 @@ class EngineConfig:
     # exact rank-merge (the bands partition the doc space for all terms)
     n_salts: int = 8
     shuffle_partitions: int = 32
+    # dictionaries at or under this row count are broadcast into the
+    # postings join (the vocabulary size is known driver-side for free
+    # from the term-id offsets); larger vocabularies (the 1e9-term web
+    # case) fall back to a shuffled join + a persisted postings relation
+    broadcast_vocab_limit: int = 2_000_000
 
     def __post_init__(self) -> None:
         if self.k1 <= 0 or not (0.0 <= self.b <= 1.0):

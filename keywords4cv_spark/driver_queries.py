@@ -569,10 +569,8 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), CFG)
 
 
-@register(
-    "jaccard_verified_pairs",
-    f"""
-WITH {_SHINGLE_CTES},
+_JACCARD_CTES = f"""
+{_SHINGLE_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -587,11 +585,45 @@ verified AS (
   FROM cand c
   JOIN sets sa ON sa.doc_id = c.doc_a
   JOIN sets sb ON sb.doc_id = c.doc_b
-)
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {dedup.JACCARD_THRESHOLD}""",
+),
+dupedges AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= {dedup.JACCARD_THRESHOLD})
+"""
+
+
+@register(
+    "jaccard_verified_pairs",
+    f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {dedup.JACCARD_THRESHOLD}""",
 )
 def q_jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verified_pairs(_docs(spark, sf_dir), CFG)
+
+
+@register(
+    "dup_components",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES},
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dupedges
+        UNION SELECT doc_b, doc_a FROM dupedges),
+reach(doc, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.doc
+),
+comp AS (SELECT doc AS doc_id, min(lab) AS rep_doc_id FROM reach GROUP BY doc)
+SELECT c.doc_id, c.rep_doc_id, CAST(cnt.n AS BIGINT) AS component_size
+FROM comp c
+JOIN (SELECT rep_doc_id, count(*) AS n FROM comp GROUP BY rep_doc_id) cnt
+  USING (rep_doc_id)""",
+)
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup graph (min-label
+    propagation; the keep-one-per-group dedup step). Oracle = DuckDB
+    recursive-CTE transitive closure over the same edges."""
+    edges = dedup.jaccard_verified_pairs(_docs(spark, sf_dir), CFG)
+    return dedup.dup_components(edges)
 
 
 def _simhash_oracle() -> str:
@@ -1342,6 +1374,63 @@ SELECT vec_id, label AS assigned_label, cosine FROM ranked WHERE rn = 1""",
 def q_assign_to_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return categorize.assign_to_centroids(emb, categorize.label_centroids(emb))
+
+
+_IVF_NPROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH {_DIMS_CTE},
+cents AS (SELECT label, list(m ORDER BY i) AS centroid FROM dims GROUP BY label),
+asg_scored AS (
+  SELECT e.vec_id, c.label,
+         {_COS_SQL.format(a="e.embedding", b="c.centroid")} AS cosine
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, label AS assigned_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, label) AS rn
+    FROM asg_scored) WHERE rn = 1
+),
+p AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM embeddings
+      WHERE vec_id IN ({", ".join(map(str, _PROBE_IDS))})),
+pc AS (
+  SELECT p.probe_id, p.probe_emb, c.label,
+         {_COS_SQL.format(a="p.probe_emb", b="c.centroid")} AS c_cos
+  FROM p, cents c
+),
+plists AS (
+  SELECT probe_id, probe_emb, label AS assigned_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY c_cos DESC, label) AS rn
+    FROM pc) WHERE rn <= {_IVF_NPROBE}
+),
+cands AS (
+  SELECT pl.probe_id, pl.probe_emb, a.vec_id
+  FROM plists pl JOIN assign a USING (assigned_label)
+  WHERE a.vec_id != pl.probe_id
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         {_COS_SQL.format(a="e.embedding", b="c.probe_emb")} AS cosine
+  FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT probe_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: probe only the nprobe nearest centroid lists (the
+    scale path beside the LSH buckets; exact baseline is cosine_topk)."""
+    return similarity.ivf_topk(
+        spark, _emb(spark, sf_dir), _PROBE_IDS, k=5, nprobe=_IVF_NPROBE
+    )
+
 
 
 # ---------------------------------------------------------------------------

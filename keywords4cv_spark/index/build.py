@@ -201,6 +201,7 @@ def assign_term_ids(agg: DataFrame, n_partitions: int | None = None) -> DataFram
         .drop("pid", "id_offset")
     )
     out._k4cv_staged = parted
+    out._k4cv_vocab_size = acc  # |V| known driver-side for free
     return out
 
 
@@ -212,6 +213,7 @@ def build_dictionary(tf_df: DataFrame) -> DataFrame:
     ids = assign_term_ids(agg)
     out = ids.select("term", "term_id", "df", "cf")
     out._k4cv_staged = ids._k4cv_staged
+    out._k4cv_vocab_size = ids._k4cv_vocab_size
     return out
 
 
@@ -277,24 +279,14 @@ def build_index(
 
     if cfg.store_positions and cfg.ngram_hi != 1:
         raise ValueError("positional indexes require unigram terms (ngram_hi == 1)")
-    # persist ONLY what downstream needs — caching the full documents
-    # relation (html/text ride along) blows the block-manager memory and
-    # the resulting GC serializes every later stage
-    keep = [F.col("doc_id"), F.col("terms"), F.col("dl")]
-    if url_col and url_col in docs.columns:
-        keep.insert(1, F.col(url_col).alias("url"))
-    toks = tokenized_docs(docs, cfg).select(*keep).persist()
-
-    # --- docmeta + stats (tiny outputs; computed once) ---
-    meta_cols = [F.col("doc_id"), F.col("dl").cast("long").alias("dl")]
-    if url_col and url_col in docs.columns:
-        meta_cols.insert(1, F.col("url"))
-    docmeta = toks.select(*meta_cols)
-    stats = corpus_stats(toks)
-    srow = stats.collect()[0]
-    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
-
-    tf_df = term_frequencies(toks, with_positions=cfg.store_positions).persist()
+    # ONE tokenize pass, ONE cached relation (the compact tf rows).
+    # Caching the tokenized terms arrays as well (a second corpus-sized
+    # cache) is pure memory-bus traffic that serializes the build as
+    # thread count grows — docmeta/stats are recoverable from tf plus a
+    # slim column-pruned scan of the source table instead.
+    tf_df = term_frequencies(
+        tokenized_docs(docs, cfg), with_positions=cfg.store_positions
+    ).persist()
     dictionary = build_dictionary(tf_df).persist()
 
     # --- postings per term bucket, with lineage + verified resume ---
@@ -304,12 +296,26 @@ def build_index(
     # per (query, band) with an exact rank-merge (query/wand.py). A tail
     # term pays at most n_salts-1 extra (tiny) blocks — noise against the
     # head terms that dominate postings volume.
+    #
+    # Join strategy: |V| is known driver-side for free (assign_term_ids
+    # offsets). A broadcastable dictionary turns this into a map-side join
+    # over the CACHED tf relation — posted is then cheap to recompute per
+    # bucket job and is NOT persisted (caching it costs a third
+    # corpus-sized cache write + memory-bus pressure, measured slower).
+    # At web vocabulary (1e9 terms) the join shuffles and posted IS
+    # persisted so each bucket job reads the join output once.
+    vocab_size = getattr(dictionary, "_k4cv_vocab_size", None)
+    small_vocab = vocab_size is not None and vocab_size <= cfg.broadcast_vocab_limit
+    dict_side = dictionary.select("term", "term_id", "df")
+    if small_vocab:
+        dict_side = F.broadcast(dict_side)
     posted = (
-        tf_df.join(dictionary.select("term", "term_id", "df"), "term")
+        tf_df.join(dict_side, "term")
         .withColumn("segment", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int"))
         .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets)).cast("int"))
-        .persist()
     )
+    if not small_vocab:
+        posted = posted.persist()
     # order-independent content fingerprint per bucket, ONE job for all.
     # This is both the lineage input_hash of newly built buckets AND the
     # verification gate on resume: a committed bucket is only skipped if
@@ -332,12 +338,35 @@ def build_index(
         total_hash ^= h
     if not _meta_fresh(spark, index_dir, total_hash, resume):
         dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+        # docmeta = slim source scan ⋈ per-doc dl from the cached tf rows
+        # (dl rides on every tf row; docs whose kept-token list is empty
+        # have no tf rows and get dl = 0 — same value a tokenize pass
+        # would produce). The source scan prunes to 2-3 columns.
+        slim_cols = [F.col("doc_id")]
+        if url_col and url_col in docs.columns:
+            slim_cols.append(F.col(url_col).alias("url"))
+        slim = docs.select(*slim_cols, *(
+            [F.col("lang")] if cfg.lang_filter and "lang" in docs.columns else []
+        ))
+        if cfg.lang_filter and "lang" in docs.columns:
+            slim = slim.filter(F.col("lang") == cfg.lang_filter).drop("lang")
+        dls = tf_df.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        docmeta = slim.join(dls, "doc_id", "left").withColumn(
+            "dl", F.coalesce(F.col("dl"), F.lit(0)).cast("long")
+        )
         docmeta.write.mode("overwrite").parquet(f"{index_dir}/docmeta")
-        stats.withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
+        # stats = aggregate of the (tiny) docmeta table just written
+        spark.read.parquet(f"{index_dir}/docmeta").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ).withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
             "n_term_buckets", F.lit(cfg.n_term_buckets)
         ).withColumn("input_hash", F.lit(total_hash)).write.mode("overwrite").parquet(
             f"{index_dir}/stats"
         )
+    srow = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
 
     committed = _committed_buckets(index_dir, cfg.n_term_buckets) if resume else set()
     prev_hash: dict[int, int] = {}
@@ -406,13 +435,13 @@ def build_index(
         with ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
             list(ex.map(encode_bucket, todo))
 
-    toks.unpersist()
     tf_df.unpersist()
     staged = getattr(dictionary, "_k4cv_staged", None)
     if staged is not None:
         staged.unpersist()
     dictionary.unpersist()
-    posted.unpersist()
+    if not small_vocab:
+        posted.unpersist()
     return load_index(spark, index_dir)
 
 

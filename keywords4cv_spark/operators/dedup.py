@@ -135,8 +135,19 @@ def jaccard_verified_pairs(
     """
     toks = tokenized_docs(docs, cfg).select("doc_id", "tokens").persist()
     bm = _band_minima_from_tokens(toks).persist()
-    cand = _pairs_from_band_minima(bm)
-    sets = toks.select("doc_id", F.array_distinct("tokens").alias("tokset"))
+    cand = _pairs_from_band_minima(bm).persist()
+    # verify-side pruning: only docs that appear in a candidate pair ship
+    # their token set into the verify join — at web scale the candidate
+    # set is orders of magnitude smaller than the corpus, and shuffling
+    # every doc's full token array would dominate the job
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = toks.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.array_distinct("tokens").alias("tokset")
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
@@ -147,6 +158,68 @@ def jaccard_verified_pairs(
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dup_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(doc_id, rep_doc_id, component_size): connected components of the
+    near-duplicate graph — the keep-one-per-group step after pair
+    verification.
+
+    Iterative min-label propagation (the simple form of the large-star/
+    small-star Spark pattern): every node starts labelled with itself;
+    each round every node takes the min label in its closed neighborhood;
+    stop when a round changes nothing. Rounds needed = graph diameter —
+    near-dup components are shallow (pairs/chains), so this converges in
+    a handful of rounds; each round is one groupBy shuffle keyed on
+    doc_id. Labels are localCheckpoint()ed per round so the plan (and
+    its lineage) stays O(1) instead of O(rounds).
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        updated = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    sym.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("rep_doc_id"),
+        F.col("component_size").cast("long").alias("component_size"),
     )
 
 

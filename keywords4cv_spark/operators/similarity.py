@@ -135,6 +135,64 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse quantizer = per-label mean centroids; each
+    probe searches only the ``nprobe`` nearest inverted lists.
+
+    The classic IVF shape (train coarse centroids → assign each vector
+    to its nearest list → probe a few lists per query) expressed
+    relationally: assignment is a broadcast argmax join, the probe→list
+    fan-out is a tiny broadcast, and the fine search touches only the
+    selected lists' vectors — at 100 TB the assignment table is the
+    partitioning key, so a probe reads O(corpus/nlist · nprobe).
+    Deterministic: cosine rounded to 6, ties break on vec_id/label.
+    """
+    from keywords4cv_spark.operators.categorize import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    cents = label_centroids(emb).persist()
+    assign = assign_to_centroids(emb, cents)  # (vec_id, assigned_label, cosine)
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    pc = probes.crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("c_label"), "centroid"))
+    ).select(
+        "probe_id",
+        "probe_emb",
+        "c_label",
+        F.round(cosine_col(F.col("probe_emb"), F.col("centroid")), 6).alias("c_cos"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("c_cos").desc(), F.col("c_label"))
+    probe_lists = (
+        pc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "probe_emb", F.col("c_label").alias("assigned_label"))
+    )
+    cands = assign.join(F.broadcast(probe_lists), "assigned_label").filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cands.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine_col(F.col("embedding"), F.col("probe_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.3, n_planes: int = 4
 ) -> DataFrame:

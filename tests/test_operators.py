@@ -136,6 +136,62 @@ def test_canonical_clusters_spark_vs_local(spark):
             assert got[i] == (b, want_rep), (i, got[i], (b, want_rep))
 
 
+def test_dup_components_label_propagation(spark):
+    """Chain 1-2-3-4 collapses to one component labelled by its min;
+    isolated pair 10-11 stays its own component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.rep_doc_id, r.component_size)
+        for r in dedup.dup_components(edges).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
+def test_ivf_topk_matches_exact_on_clustered_data(spark):
+    """IVF-Flat with well-separated clusters: probing the nearest lists
+    returns the same top-k as exact brute-force cosine (recall = 1 when
+    a probe's true neighbours share its list)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        v = (c + rng.normal(scale=0.05, size=16)).astype(np.float32)
+        rows.append((i, f"label{i % 4}", v.tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    probes = [0, 1, 2, 3]
+    exact = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in similarity.cosine_topk(spark, emb, probes, k=3).collect()
+    }
+    ivf = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in similarity.ivf_topk(spark, emb, probes, k=3, nprobe=1).collect()
+    }
+    assert ivf == exact
+
+
+def test_jaccard_prunes_to_candidate_docs(spark, docs):
+    """The verify join must only ship token sets of docs that appear in
+    a candidate pair (the 100 TB shuffle-volume guard)."""
+    pairs = dedup.jaccard_verified_pairs(docs)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    # every verified pair is an LSH candidate (sanity: pruning did not
+    # change semantics)
+    cand = {
+        (r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} <= cand
+
+
 def test_lsh_buckets_match_plane_sign(spark, emb):
     sample = emb.limit(30).collect()
     got = {
