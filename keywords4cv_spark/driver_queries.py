@@ -497,6 +497,83 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sessions_closed",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(epoch(ts) AS BIGINT)
+           - lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM gaps
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS session_id
+  FROM marked
+),
+agged AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end,
+         round(sum(value), 6) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_events, session_start, session_end, session_value
+FROM agged
+WHERE session_id < (SELECT max(session_id) FROM agged a2
+                    WHERE a2.user_id = agged.user_id)""",
+)
+def q_stream_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming stateful sessionization, end to end: run the
+    applyInPandasWithState operator over the events table as an
+    availableNow file stream and return the CLOSED sessions (each
+    user's final session stays open in state — the oracle drops each
+    user's max session_id accordingly)."""
+    import uuid
+
+    from keywords4cv_spark.streaming.incremental import sessionize_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"k4cv_sess_ckpt_{qname}")
+    # the file-stream source wants a DIRECTORY: stage a symlink dir
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "k4cv_events_stream_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(events.schema).parquet(stage)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table(qname)
+    # round like the oracle; one batch ⇒ per-user sessions 1..max-1 closed
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.round("session_value", 6).alias("session_value"),
+    )
+
+
+@register(
     "running_user_totals",
     """
 SELECT user_id, event_id,
