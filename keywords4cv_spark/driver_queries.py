@@ -724,6 +724,32 @@ def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_docs(spark, sf_dir), CFG)
 
 
+@register(
+    "simhash_near_dups",
+    f"""
+WITH sh AS ({_simhash_oracle().strip()}),
+bands AS (
+  SELECT doc_id, p.p AS p, (simhash >> (4 * p.p)) & 15 AS nib
+  FROM sh, (SELECT unnest(range({dedup.SIMHASH_BANDS})) AS p) p
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.p = b.p AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(CAST(sa.simhash AS BIGINT), CAST(sb.simhash AS BIGINT))) AS INTEGER) AS hamming
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(CAST(sa.simhash AS BIGINT), CAST(sb.simhash AS BIGINT))) <= {dedup.SIMHASH_MAX_HAMMING}""",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: lossless banded candidates (hamming ≤ 3 ⇒
+    ≥1 identical nibble of 4) + bit_count(xor) verification."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), CFG)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 

@@ -161,6 +161,66 @@ def jaccard_verified_pairs(
     )
 
 
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-duplicates via banded join.
+
+    Pigeonhole candidate generation: a 16-bit signature split into 4
+    nibbles — any pair with hamming ≤ 3 differs in at most 3 bits, so at
+    least one nibble is IDENTICAL; the equi-join on (band, nibble) is
+    therefore lossless for max_hamming < 4 while never materializing
+    the O(n²) cross product. Verification is bit_count(xor) — pure
+    codegen on both engines.
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("banding is only lossless for max_hamming < n_bands")
+    sh = simhash16(docs, cfg).persist()
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"),
+                        F.shiftright("simhash", 4 * p).bitwiseAND(F.lit(15)).alias("nib"),
+                    )
+                    for p in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.p").alias("p"), F.col("b.nib").alias("nib"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dup_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:

@@ -136,6 +136,24 @@ def test_canonical_clusters_spark_vs_local(spark):
             assert got[i] == (b, want_rep), (i, got[i], (b, want_rep))
 
 
+def test_simhash_near_dups_banding_lossless(spark, docs):
+    """Banded candidates must find EVERY pair with hamming ≤ 3 (pigeonhole
+    over 4 nibbles) — verify against a brute-force pass over signatures."""
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+    ids = sorted(sh)
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dups(docs).collect()
+    }
+    assert got == want
+
+
 def test_dup_components_label_propagation(spark):
     """Chain 1-2-3-4 collapses to one component labelled by its min;
     isolated pair 10-11 stays its own component."""
