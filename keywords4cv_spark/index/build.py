@@ -366,6 +366,11 @@ def build_index(
             f"{index_dir}/stats"
         )
     srow = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    if not srow["n_docs"]:
+        raise ValueError(
+            "build_index: corpus is empty after filtering "
+            f"(lang_filter={cfg.lang_filter!r}) — nothing to index"
+        )
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
 
     committed = _committed_buckets(index_dir, cfg.n_term_buckets) if resume else set()

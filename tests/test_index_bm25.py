@@ -200,6 +200,14 @@ def test_resume_rebuilds_on_corpus_change(spark, docs, tmp_path):
     assert resumed.stats_row()["n_docs"] == fresh.stats_row()["n_docs"]
 
 
+def test_empty_corpus_raises_cleanly(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="corpus is empty"):
+        build_index(
+            spark, docs.filter(F.col("doc_id") < 0), str(tmp_path / "e"), CFG,
+            url_col="source",
+        )
+
+
 def test_compaction_equals_full_rebuild(spark, docs, tmp_path):
     """Block-level compaction of two generations must produce byte-level
     the same postings as one full build over the union: same n_salts →
