@@ -228,14 +228,15 @@ def dup_components(
     near-duplicate graph — the keep-one-per-group step after pair
     verification.
 
-    Iterative min-label propagation (the simple form of the large-star/
-    small-star Spark pattern): every node starts labelled with itself;
-    each round every node takes the min label in its closed neighborhood;
-    stop when a round changes nothing. Rounds needed = graph diameter —
-    near-dup components are shallow (pairs/chains), so this converges in
-    a handful of rounds; each round is one groupBy shuffle keyed on
-    doc_id. Labels are localCheckpoint()ed per round so the plan (and
-    its lineage) stays O(1) instead of O(rounds).
+    Iterative min-label propagation with pointer jumping (the doubling
+    trick of the large-star/small-star Spark pattern): every node starts
+    labelled with itself; each round every node takes the min label over
+    its closed neighborhood AND then follows its label's label — so the
+    reach doubles per round and a diameter-D component converges in
+    O(log D) rounds, not D. Convergence is detected from Σ labels (labels
+    only ever decrease, so an unchanged sum ⇒ a fixed point) — one tiny
+    agg instead of a join-and-count per round. Labels are
+    localCheckpoint()ed per round so the plan stays O(1), not O(rounds).
     """
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -249,31 +250,39 @@ def dup_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neigh_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("neigh_label"))
         )
+        half = labels.join(neigh_min, labels.doc_id == neigh_min.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: follow the label's own label (labels are always
+        # existing node ids, so the self-join is total for non-roots)
+        lab_of = half.select(
+            F.col("doc_id").alias("l_doc"), F.col("label").alias("l_lab")
+        )
         updated = (
-            labels.join(neigh_min, labels.doc_id == neigh_min.src, "left")
+            half.join(lab_of, half.label == lab_of.l_doc, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("l_lab"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
+        cur_sum = updated.agg(F.sum("label")).collect()[0][0]
         labels = updated
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sym.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return labels.join(sizes, "label").select(
