@@ -1,14 +1,70 @@
 """Sentence segmentation / keyword sections / context windows (P6/P8/J4)
-against hand-computed expectations on literal documents."""
+against hand-computed expectations on literal documents, plus a
+hypothesis parity property: Spark split == pure-Python spec == DuckDB.
+"""
 
 from __future__ import annotations
 
+import re
+
+import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from keywords4cv_spark.config import EngineConfig
 from keywords4cv_spark.operators import sentences as sentops
 
 CFG = EngineConfig(lang_filter=None)
+
+
+def py_sentences(text: str) -> list[str]:
+    """The pure-Python sentence-split spec (the parity target).
+
+    NB trim semantics: Spark `trim` and DuckDB `trim` both strip ONLY
+    0x20 spaces (not \\n/\\t) — the spec matches the engines, so a
+    sentence consisting of a bare newline survives as its own row.
+    """
+    return [s.strip(" ") for s in re.split(r"[.!?•]+", text) if s.strip(" ")]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("abz .!?•:\n\t-")),
+        max_size=120,
+    )
+)
+def test_duckdb_sentence_split_parity(text):
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT list_filter(list_transform("
+        "string_split_regex(?, '[.!?•]+'), s -> trim(s)), s -> s != '')",
+        [text],
+    ).fetchone()[0]
+    assert list(got) == py_sentences(text)
+
+
+def test_spark_sentence_split_parity(spark):
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "", "...", "a.b.c", "one! two? three• four",
+                "dots..everywhere.. .", "•lead and trail•",
+                "requirements: x. y! z?", "no punctuation at all",
+                " spaced . out ! ", "mix\n.lines\t? ok",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list[str]] = {}
+    for r in sentops.sentences(df).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    for doc_id, text in rows:
+        want = py_sentences(text)
+        have = [s for _, s in sorted(got.get(doc_id, []))]
+        assert have == want, (doc_id, text, have, want)
 
 
 @pytest.fixture(scope="module")
