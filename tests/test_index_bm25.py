@@ -243,6 +243,39 @@ def test_compaction_equals_full_rebuild(spark, docs, tmp_path):
         assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
 
 
+def test_compaction_mixed_band_layouts(spark, docs, tmp_path):
+    """Generations built with DIFFERENT n_salts still compact correctly:
+    a doc's band is constant across its own generation's terms, so
+    (term, segment) merge groups and query-time (query, segment) groups
+    remain valid doc partitions even when the band modulus differs."""
+    from keywords4cv_spark.index.compact import compact_generations
+
+    g1 = build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), str(tmp_path / "m1"),
+        EngineConfig(n_term_buckets=2, n_salts=2, shuffle_partitions=8),
+        url_col="source",
+    )
+    g2 = build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), str(tmp_path / "m2"),
+        EngineConfig(n_term_buckets=2, n_salts=4, shuffle_partitions=8),
+        url_col="source",
+    )
+    compacted = compact_generations(spark, [g1, g2], str(tmp_path / "mc"), CFG)
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    wand = _collect(bm25_wand(spark, compacted, CFG))
+    assert set(brute) == set(wand)
+    for key in brute:
+        assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
+        assert abs(brute[key][1] - wand[key][1]) < 1e-9, key
+    # multi-generation querying over mixed layouts is exact too
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    multi = _collect(bm25_wand_multi(spark, [g1, g2], CFG))
+    assert set(brute) == set(multi)
+    for key in brute:
+        assert brute[key][0] == multi[key][0], key
+
+
 def test_multi_generation_rank_identical(spark, docs, tmp_path):
     """Incremental story: two disjoint-generation indexes queried together
     must be rank-identical to brute force over the union (and therefore
