@@ -1295,6 +1295,72 @@ def q_context_validated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentops.context_validated_terms(spark, _synth(spark), CFG)
 
 
+_SEG_CTES = f"""
+segarr AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '{_HEAD_RE_SQL}', chr(1) || '\\1:', 'g'),
+                      chr(1)) AS arr
+  FROM '{_SYNTH_PATH}/*.parquet'
+),
+segs AS (SELECT doc_id, CAST(unnest(range(len(arr))) AS INTEGER) AS seg_idx,
+                unnest(arr) AS body
+         FROM segarr),
+keep AS (SELECT * FROM segs WHERE length(trim(body)) > 0),
+sec AS (SELECT doc_id, seg_idx,
+        CASE WHEN regexp_extract(body, '^{_HEAD_RE_SQL}', 1) = '' THEN 'general'
+             ELSE regexp_extract(body, '^{_HEAD_RE_SQL}', 1) END AS section,
+        body
+        FROM keep),
+toksec AS (SELECT doc_id, seg_idx, section,
+                  unnest({tokens_sql("body")}) AS term
+           FROM sec),
+firstsec AS (
+  SELECT doc_id, term, section FROM (
+    SELECT doc_id, term, section,
+           row_number() OVER (PARTITION BY doc_id, term ORDER BY seg_idx) AS rn
+    FROM toksec) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "reference_scored_terms",
+    f"""
+WITH d AS (SELECT doc_id, list_distinct({tokens_sql("text")}) AS toks
+           FROM '{_SYNTH_PATH}/*.parquet'),
+orig AS (SELECT doc_id, unnest(toks) AS term FROM d),
+{_syn_values_cte()},
+expanded AS (SELECT o.doc_id, s.synonym AS term FROM orig o JOIN syn s ON o.term = s.term),
+allt AS (SELECT DISTINCT doc_id, term FROM
+         (SELECT * FROM orig UNION ALL SELECT * FROM expanded)),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_set FROM allt GROUP BY doc_id),
+{_SEG_CTES},
+{vocab.skills_values_cte()},
+scored AS (
+  SELECT a.doc_id, a.term,
+         (0.7 / sqrt(nd.n_set)
+          + 0.3 * (CASE WHEN o.term IS NOT NULL THEN 1 ELSE 0 END))
+         * (CASE WHEN a.term IN (SELECT skill FROM skills)
+                 THEN {vocab.WHITELIST_BOOST} ELSE 1.0 END)
+         * (CASE WHEN f.section IS NULL THEN {sections.DEFAULT_WEIGHT}
+                 ELSE {_section_weight_sql("f.section")} END) AS score
+  FROM allt a
+  JOIN nd USING (doc_id)
+  LEFT JOIN orig o ON o.doc_id = a.doc_id AND o.term = a.term
+  LEFT JOIN firstsec f ON f.doc_id = a.doc_id AND f.term = a.term
+)
+SELECT term, round(sum(score), 6) AS total_score,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY term""",
+)
+def q_reference_scored_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal scoring chain (0.7·l2-tfidf + 0.3·presence
+    → whitelist boost → per-keyword section weight) end to end — the
+    G3→A2 parity flagship, runnable only now that P8 keyword sections
+    exist. See operators/scoring.reference_term_scores."""
+    return scoring.reference_term_scores(spark, _synth(spark), CFG)
+
+
 # ---------------------------------------------------------------------------
 # boolean / phrase retrieval (postings-intersection family)
 # ---------------------------------------------------------------------------

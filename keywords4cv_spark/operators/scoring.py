@@ -141,6 +141,81 @@ def fuzzy_resolve(
     )
 
 
+def reference_term_scores(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The reference's LITERAL scoring chain, per (doc, term) — the full
+    G3→A2 pipeline now that per-keyword sections (P8) exist:
+
+    - distinct keyword set per doc = original tokens ∪ synonym
+      expansions of present terms (keywords4cv.py:3107-3164);
+    - tfidf_value = the l2-normalized binary vector entry = 1/√|set|
+      (HashingVectorizer(norm='l2', binary via set()) re-specified
+      collision-free — keywords4cv.py:3071-3085; the reference's
+      per-row constant-value defect is corrected per SURVEY §8);
+    - presence = 1 iff the term occurred in the original tokens
+      (synonym-only terms get 0) — keywords4cv.py:3180;
+    - score = 0.7·tfidf + 0.3·presence (:3200-3205), ×WHITELIST_BOOST if
+      whitelisted (:3207-3212), × the section weight of the keyword's
+      nearest preceding heading (:3214-3221 via _detect_keyword_section,
+      'default' weight when the term never appears in the text).
+
+    Aggregated per term: (term, total_score, n_docs).
+    """
+    from keywords4cv_spark.operators import expansion
+    from keywords4cv_spark.operators.sections import (
+        DEFAULT_WEIGHT,
+        section_weight_col,
+    )
+    from keywords4cv_spark.operators.sentences import term_sections
+    from keywords4cv_spark.textprep.spark_exprs import tokens_col
+
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            tokens_col(F.col("text"), cfg.min_token_len, cfg.stopwords)
+        ).alias("toks"),
+    ).persist()
+    orig = toks.select("doc_id", F.explode("toks").alias("term"))
+    syn = spark.createDataFrame(expansion.SYNONYMS, "term string, synonym string")
+    expanded = orig.join(F.broadcast(syn), "term").select(
+        "doc_id", F.col("synonym").alias("term")
+    )
+    allt = orig.unionByName(expanded).distinct()
+    presence = orig.withColumn("presence", F.lit(1))
+    nd = allt.groupBy("doc_id").agg(F.count("*").alias("n_set"))
+    skills = spark.createDataFrame(
+        [(s,) for s in sorted({s for _, s in vocab.SKILLS})], "term string"
+    ).withColumn("in_wl", F.lit(True))
+    secs = term_sections(docs, cfg)
+    scored = (
+        allt.join(presence, ["doc_id", "term"], "left")
+        .withColumn("presence", F.coalesce("presence", F.lit(0)))
+        .join(nd, "doc_id")
+        .join(F.broadcast(skills), "term", "left")
+        .join(secs, ["doc_id", "term"], "left")
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("section").isNotNull(), section_weight_col(F.col("section"))
+            ).otherwise(F.lit(DEFAULT_WEIGHT)),
+        )
+        .withColumn(
+            "score",
+            (
+                F.lit(0.7) / F.sqrt(F.col("n_set"))
+                + F.lit(0.3) * F.col("presence")
+            )
+            * F.when(F.col("in_wl"), F.lit(vocab.WHITELIST_BOOST)).otherwise(1.0)
+            * F.col("weight"),
+        )
+    )
+    return scored.groupBy("term").agg(
+        F.round(F.sum("score"), 6).alias("total_score"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def _ratio_col(a, b):
     """Similarity ratio in [0, 100]: 100·(1 − lev(a,b)/max(|a|,|b|)).
 

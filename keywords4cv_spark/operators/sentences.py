@@ -101,11 +101,9 @@ def _heading_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def keyword_sections(
-    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
-) -> DataFrame:
+def term_sections(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """(doc_id, term, section): nearest-preceding heading at the FIRST
-    occurrence of each whitelist keyword in each document (P8)."""
+    occurrence of EVERY distinct term in each document."""
     segs = _heading_segments(docs)
     toks = segs.select(
         "doc_id",
@@ -115,14 +113,25 @@ def keyword_sections(
             tokens_col(F.col("body"), cfg.min_token_len, cfg.stopwords)
         ).alias("term"),
     )
+    w = Window.partitionBy("doc_id", "term").orderBy("seg_idx")
+    return (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "section")
+    )
+
+
+def keyword_sections(
+    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, term, section): nearest-preceding heading at the FIRST
+    occurrence of each whitelist keyword in each document (P8)."""
     skills = spark.createDataFrame(
         [(s,) for s in sorted({s for _, s in vocab.SKILLS})], "term string"
     )
-    hits = toks.join(F.broadcast(skills), "term", "left_semi")
-    w = Window.partitionBy("doc_id", "term").orderBy("seg_idx")
     return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        term_sections(docs, cfg)
+        .join(F.broadcast(skills), "term", "left_semi")
         .select("doc_id", "term", "section")
     )
 
