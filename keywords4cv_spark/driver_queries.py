@@ -453,6 +453,50 @@ def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "part_supplier_volume",
+    """
+SELECT n_name, p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_brand""",
+)
+def q_part_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.part_supplier_volume(spark, sf_dir)
+
+
+@register(
+    "supplier_balance_rollup",
+    """
+SELECT coalesce(n_name, 'ALL') AS n_name,
+       round(sum(s_acctbal), 4) AS total_balance,
+       round(avg(s_acctbal), 6) AS avg_balance,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name)""",
+)
+def q_supplier_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.supplier_balance_rollup(spark, sf_dir)
+
+
+@register(
+    "events_props_stats",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type""",
+)
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-column extraction (get_json_object) + aggregation."""
+    return relational.events_props_stats(spark, sf_dir)
+
+
+@register(
     "events_tumbling",
     """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -190,3 +190,63 @@ def segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(s).cast("long").alias(s.lower()) for s in segs],
         )
     )
+
+
+def part_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: fact ⋈ two broadcast dims ⋈ nation, grouped
+    revenue per (nation, brand) — the star-join shape whose dims stay
+    broadcast at any fact-table scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def supplier_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation) of supplier account balances."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .rollup("n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
+            F.round(F.avg("s_acctbal"), 6).alias("avg_balance"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "total_balance",
+            "avg_balance",
+            "n_suppliers",
+        )
+    )
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a JSON field from the props column
+    (JVM get_json_object — no UDF) and aggregate per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
