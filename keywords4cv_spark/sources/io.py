@@ -33,6 +33,25 @@ def load_synonyms_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, synonym string")
 
 
+def load_job_descriptions_json(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's input format ({title: description} JSON,
+    /root/reference/job_descriptions.json shape) → a documents frame
+    (doc_id, text, lang, source). Titles become the source field (the
+    reference carries them as 'Job Title'); doc ids are assigned in
+    sorted-title order (deterministic)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    rows = [
+        (i, str(desc), "en", str(title))
+        for i, (title, desc) in enumerate(sorted(data.items()))
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
 def save_results_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
