@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
         docs = load_job_descriptions_json(spark, args.input)
     else:
         docs = spark.read.parquet(args.input)
+    # optional columns get defaults (the pipeline needs source for field
+    # weights and lang for the filter)
+    from pyspark.sql import functions as F
+
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("default"))
+    if "lang" not in docs.columns:
+        docs = docs.withColumn("lang", F.lit(args.lang or "en"))
     docs = docs.persist()
 
     summary = keyword_summary(spark, docs, cfg).persist()

@@ -8,6 +8,18 @@ driver's comparator hashes values after sorting columns by name.
 Ordering is irrelevant to the comparator, but LIMIT/top-k queries pin
 deterministic tie-breaks on BOTH sides so the selected row SET is
 identical.
+
+Persist lifecycle: several query functions persist() intermediates
+(staged tokenized relations, band minima, centroids) and deliberately
+do NOT unpersist — the returned DataFrame still references the cached
+branch lazily, the driver executes queries sequentially in one session
+at gate scale, and Spark's LRU block manager reclaims cold entries. At
+service scale the same staging points would be scratch TABLES with
+explicit lifecycle, not executor memory.
+
+Fixture oracles (canonical_clusters) are materialized for the driver's
+fixed sf=0.01 gate; the Spark query runs at any sf, the oracle is only
+meaningful at 0.01 (the driver never compares elsewhere).
 """
 
 from __future__ import annotations
@@ -591,8 +603,16 @@ def q_stream_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    # lexists: a BROKEN symlink fails plain exists() and then symlink()
+    # raises; also tolerate a concurrent creator
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
     stream = spark.readStream.schema(events.schema).parquet(stage)
     q = (
         sessionize_stream(stream)
@@ -1262,10 +1282,8 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentops.sentence_stats(_synth(spark), CFG)
 
 
-@register(
-    "keyword_sections",
-    f"""
-WITH segarr AS (
+_SEG_CTES = f"""
+segarr AS (
   SELECT doc_id,
          string_split(regexp_replace(text, '{_HEAD_RE_SQL}', chr(1) || '\\1:', 'g'),
                       chr(1)) AS arr
@@ -1280,15 +1298,25 @@ sec AS (SELECT doc_id, seg_idx,
              ELSE regexp_extract(body, '^{_HEAD_RE_SQL}', 1) END AS section,
         body
         FROM keep),
-toks AS (SELECT doc_id, seg_idx, section,
-                unnest({tokens_sql("body")}) AS term
-         FROM sec),
-{vocab.skills_values_cte()},
-hits AS (SELECT * FROM toks WHERE term IN (SELECT skill FROM skills)),
-first AS (SELECT doc_id, term, section,
-                 row_number() OVER (PARTITION BY doc_id, term ORDER BY seg_idx) AS rn
-          FROM hits)
-SELECT doc_id, term, section FROM first WHERE rn = 1""",
+toksec AS (SELECT doc_id, seg_idx, section,
+                  unnest({tokens_sql("body")}) AS term
+           FROM sec),
+firstsec AS (
+  SELECT doc_id, term, section FROM (
+    SELECT doc_id, term, section,
+           row_number() OVER (PARTITION BY doc_id, term ORDER BY seg_idx) AS rn
+    FROM toksec) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "keyword_sections",
+    f"""
+WITH {_SEG_CTES},
+{vocab.skills_values_cte()}
+SELECT doc_id, term, section FROM firstsec
+WHERE term IN (SELECT skill FROM skills)""",
 )
 def q_keyword_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: nearest-preceding heading at each keyword's first occurrence
@@ -1337,34 +1365,6 @@ def q_context_validated_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 (full): ±w-sentence context-window validation of whitelist
     keywords (reference keywords4cv.py:1287-1303 + validation_utils)."""
     return sentops.context_validated_terms(spark, _synth(spark), CFG)
-
-
-_SEG_CTES = f"""
-segarr AS (
-  SELECT doc_id,
-         string_split(regexp_replace(text, '{_HEAD_RE_SQL}', chr(1) || '\\1:', 'g'),
-                      chr(1)) AS arr
-  FROM '{_SYNTH_PATH}/*.parquet'
-),
-segs AS (SELECT doc_id, CAST(unnest(range(len(arr))) AS INTEGER) AS seg_idx,
-                unnest(arr) AS body
-         FROM segarr),
-keep AS (SELECT * FROM segs WHERE length(trim(body)) > 0),
-sec AS (SELECT doc_id, seg_idx,
-        CASE WHEN regexp_extract(body, '^{_HEAD_RE_SQL}', 1) = '' THEN 'general'
-             ELSE regexp_extract(body, '^{_HEAD_RE_SQL}', 1) END AS section,
-        body
-        FROM keep),
-toksec AS (SELECT doc_id, seg_idx, section,
-                  unnest({tokens_sql("body")}) AS term
-           FROM sec),
-firstsec AS (
-  SELECT doc_id, term, section FROM (
-    SELECT doc_id, term, section,
-           row_number() OVER (PARTITION BY doc_id, term ORDER BY seg_idx) AS rn
-    FROM toksec) WHERE rn = 1
-)
-"""
 
 
 @register(

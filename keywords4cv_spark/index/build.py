@@ -362,9 +362,9 @@ def build_index(
             F.sum("dl").cast("long").alias("sum_dl"),
         ).withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
             "n_term_buckets", F.lit(cfg.n_term_buckets)
-        ).withColumn("input_hash", F.lit(total_hash)).write.mode("overwrite").parquet(
-            f"{index_dir}/stats"
-        )
+        ).withColumn("store_positions", F.lit(cfg.store_positions)).withColumn(
+            "input_hash", F.lit(total_hash)
+        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
     srow = spark.read.parquet(f"{index_dir}/stats").collect()[0]
     if not srow["n_docs"]:
         raise ValueError(

@@ -55,6 +55,17 @@ def compact_generations(
     from keywords4cv_spark.deploy import ensure_py_files
 
     ensure_py_files(spark)
+    # positional payloads are NOT carried through the merge (decode_block
+    # drops the position tail) — refuse loudly instead of corrupting
+    # phrase search on the compacted index
+    for idx in indexes:
+        if "store_positions" in idx.stats.columns and bool(
+            idx.stats_row()["store_positions"]
+        ):
+            raise NotImplementedError(
+                "compact_generations does not merge positional postings yet; "
+                "rebuild with build_index over the union instead"
+            )
     os.makedirs(out_dir, exist_ok=True)
 
     # --- combined stats (exact integer arithmetic) ---
@@ -88,9 +99,9 @@ def compact_generations(
     allmeta.write.mode("overwrite").parquet(f"{out_dir}/docmeta")
 
     spark.createDataFrame(
-        [(n_docs, avgdl, sum_dl, k1, b, cfg.n_term_buckets, 0)],
+        [(n_docs, avgdl, sum_dl, k1, b, cfg.n_term_buckets, False, 0)],
         "n_docs long, avgdl double, sum_dl long, k1 double, b double, "
-        "n_term_buckets int, input_hash long",
+        "n_term_buckets int, store_positions boolean, input_hash long",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
 
     # --- posting merge: old blocks → (term, band) groups → re-encode ---

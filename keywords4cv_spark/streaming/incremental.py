@@ -92,11 +92,14 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     Semantics match the batch sessionizer
     (operators/relational.events_sessionized): a new session starts when
     the gap to the previous event of the same user exceeds
-    ``gap_seconds``; session ids are 1-based per user in time order.
-    CLOSED sessions are emitted as soon as the event that supersedes
-    them arrives; the still-open session lives in per-user state until
-    a later micro-batch closes it. Parallelism: state is hash-
-    partitioned by user_id — the standard Spark stateful-shuffle shape.
+    ``gap_seconds``, where the gap is measured on WHOLE epoch seconds
+    (the batch/oracle predicate is ``epoch(ts)`` cast to BIGINT — the
+    microsecond-exact gap would diverge on sub-second timestamps);
+    session ids are 1-based per user in time order. CLOSED sessions are
+    emitted as soon as the event that supersedes them arrives; the
+    still-open session lives in per-user state until a later micro-batch
+    closes it. Parallelism: state is hash-partitioned by user_id — the
+    standard Spark stateful-shuffle shape.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -108,11 +111,17 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         else:
             sid, n, start_us, last_us, value = 0, 0, 0, 0, 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, val in zip(pdf["ts"], pdf["value"]):
+        # a large group arrives as MULTIPLE Arrow chunks in shuffle order:
+        # concatenate and sort ONCE — sorting per chunk would interleave
+        # out-of-order events across chunk boundaries
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts, val in zip(batch["ts"], batch["value"]):
                 t_us = int(pd.Timestamp(ts).value // 1_000)
-                if n == 0 or t_us - last_us > gap_seconds * 1_000_000:
+                gap_s = t_us // 1_000_000 - last_us // 1_000_000
+                if n == 0 or gap_s > gap_seconds:
                     if n > 0:
                         closed.append((sid, n, start_us, last_us, value))
                     sid, n, start_us, value = sid + 1, 0, t_us, 0.0
