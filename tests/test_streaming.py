@@ -53,6 +53,66 @@ def test_windowed_term_counts_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics end to end: a window is emitted
+    once the watermark passes it, and an event arriving AFTER the
+    watermark passed its window is dropped — the late contribution must
+    not appear in the finalized counts."""
+    import time as _time
+
+    import pandas as pd
+
+    in_dir = tmp_path / "wm_in"
+    in_dir.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "warc_ts"]
+        ).astype({"doc_id": "int64"})
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).astype("datetime64[us]")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(in_dir / name)
+        )
+
+    t0 = "2025-01-01 00:30:00"
+    write_batch("b1", [
+        (1, "alpha alpha", "en", t0),
+        (2, "beta", "en", "2025-01-01 05:30:00"),  # advances watermark to 04:30
+    ])
+    _time.sleep(1.1)
+    write_batch("b2", [(4, "gamma", "en", "2025-01-01 06:30:00")])
+    _time.sleep(1.1)
+    # Spark's LATE-EVENT watermark lags the eviction watermark by one
+    # batch (a row arriving in the very next batch after its window was
+    # passed still lands) — so the late row goes in a THIRD batch, two
+    # triggers after its window closed
+    write_batch("b3", [(3, "alpha", "en", t0)])
+    schema = spark.read.parquet(str(in_dir / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    q = (
+        windowed_term_counts(stream, window="1 hour", watermark="1 hour", cfg=CFG)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window_start, r.term): r.n for r in spark.sql("SELECT * FROM wm").collect()
+    }
+    emitted_alpha = {k: v for k, v in got.items() if k[1] == "alpha"}
+    assert len(emitted_alpha) == 1
+    # the late batch-2 alpha must NOT be counted: 2, not 3
+    assert list(emitted_alpha.values()) == [2], got
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path, sf_dir):
     """applyInPandasWithState sessionization == batch sessionizer on the
     CLOSED sessions (each user's final session is still open in state).
