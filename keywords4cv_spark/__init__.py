@@ -25,7 +25,9 @@ vectorized Arrow-batched UDFs (never per-row).
 """
 
 # NB 0.4.0: postings `segment` became a doc band (doc_id % n_salts) —
-# 0.3.x indexes are layout-incompatible with band-grouped query plans
-__version__ = "0.4.0"
+# 0.3.x indexes are layout-incompatible with band-grouped query plans.
+# 0.5.0: the stats table carries an explicit `layout` marker and
+# load_index refuses trees without it (pre-0.5 caches must rebuild).
+__version__ = "0.5.0"
 
 from keywords4cv_spark.config import EngineConfig  # noqa: F401

@@ -1056,9 +1056,6 @@ def _ensure_canon_fixture() -> str:
     return _CANON_FIXTURE
 
 
-_ensure_canon_fixture()
-
-
 @register(
     "canonical_clusters",
     f"SELECT vec_id, bucket, cluster, rep_vec_id, cluster_size "
@@ -1067,7 +1064,11 @@ _ensure_canon_fixture()
 def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: LSH-bucketed embedding DBSCAN canonicalization. Oracle = a
     parquet fixture computed by the independent numpy twin
-    (local_canonical_clusters) over the same sf0.01 embeddings."""
+    (local_canonical_clusters) over the same sf0.01 embeddings. The
+    fixture materializes lazily HERE (the driver always runs the Spark
+    query before its oracle SQL) — at import time it would couple every
+    import of this module to testdata state and a numpy DBSCAN run."""
+    _ensure_canon_fixture()
     return canonicalize.canonical_clusters(_emb(spark, sf_dir))
 
 

@@ -75,6 +75,14 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
+# physical-layout marker written into the stats table. Band-grouped
+# query plans (wand.py groupBy(query_id, segment), phrase.py) are only
+# exact when `segment` is a doc band shared by every term; a 0.3.x
+# index (salted head terms, segment 0 for tail terms) would load
+# without error and silently split a doc's score across segment
+# groups. load_index refuses stats rows without this exact marker.
+DOC_BAND_LAYOUT = "doc-band-v1"
+
 # _lineage is a bucket-partitioned parquet table (_lineage/bucket=N/):
 # each bucket's row commits atomically WITH that bucket (own _SUCCESS),
 # so a mid-build crash loses at most the in-flight buckets' lineage —
@@ -364,7 +372,9 @@ def build_index(
             "n_term_buckets", F.lit(cfg.n_term_buckets)
         ).withColumn("store_positions", F.lit(cfg.store_positions)).withColumn(
             "input_hash", F.lit(total_hash)
-        ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+        ).withColumn("layout", F.lit(DOC_BAND_LAYOUT)).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/stats")
     srow = spark.read.parquet(f"{index_dir}/stats").collect()[0]
     if not srow["n_docs"]:
         raise ValueError(
@@ -465,9 +475,10 @@ def _meta_fresh(
         if not _complete(index_dir, table):
             return False
     stats = spark.read.parquet(f"{index_dir}/stats")
-    if "input_hash" not in stats.columns:
+    if "input_hash" not in stats.columns or "layout" not in stats.columns:
         return False
-    return int(stats.select("input_hash").collect()[0][0]) == total_hash
+    row = stats.select("input_hash", "layout").collect()[0]
+    return int(row["input_hash"]) == total_hash and row["layout"] == DOC_BAND_LAYOUT
 
 
 def _committed_buckets(index_dir: str, n_buckets: int) -> set[int]:
@@ -503,14 +514,37 @@ def _lineage_hashes(spark: SparkSession, index_dir: str) -> dict[int, int]:
 
 
 def load_index(spark: SparkSession, index_dir: str) -> IndexTables:
+    """Open an index tree; refuses layouts the query plans can't serve.
+
+    Band-grouped WAND/phrase plans assume `segment` is a doc band — an
+    index without the doc-band layout marker would return silently
+    WRONG top-k (a doc's per-term postings split across groups), so the
+    check is a hard error, not a warning. The stats row is collected
+    once here and seeded into IndexTables' cache (queries were paying
+    this round-trip on first stats_row() anyway).
+    """
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    if "layout" not in stats.columns:
+        raise ValueError(
+            f"index at {index_dir!r} predates the doc-band layout marker "
+            "(engine < 0.4): rebuild with build_index — band-grouped "
+            "query plans would silently mis-rank on this layout"
+        )
+    srow = stats.collect()[0]
+    if srow["layout"] != DOC_BAND_LAYOUT:
+        raise ValueError(
+            f"index at {index_dir!r} has layout {srow['layout']!r}; "
+            f"this engine serves {DOC_BAND_LAYOUT!r} only"
+        )
     return IndexTables(
         dictionary=spark.read.parquet(f"{index_dir}/dictionary"),
         postings=spark.read.option("basePath", f"{index_dir}/postings").parquet(
             f"{index_dir}/postings"
         ),
         docmeta=spark.read.parquet(f"{index_dir}/docmeta"),
-        stats=spark.read.parquet(f"{index_dir}/stats"),
+        stats=stats,
         lineage=spark.read.option("basePath", f"{index_dir}/_lineage").parquet(
             f"{index_dir}/_lineage"
         ),
+        _stats_row=srow,
     )

@@ -28,6 +28,7 @@ corpus text is never touched.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -98,10 +99,12 @@ def compact_generations(
         )
     allmeta.write.mode("overwrite").parquet(f"{out_dir}/docmeta")
 
+    from keywords4cv_spark.index.build import DOC_BAND_LAYOUT
+
     spark.createDataFrame(
-        [(n_docs, avgdl, sum_dl, k1, b, cfg.n_term_buckets, False, 0)],
+        [(n_docs, avgdl, sum_dl, k1, b, cfg.n_term_buckets, False, 0, DOC_BAND_LAYOUT)],
         "n_docs long, avgdl double, sum_dl long, k1 double, b double, "
-        "n_term_buckets int, store_positions boolean, input_hash long",
+        "n_term_buckets int, store_positions boolean, input_hash long, layout string",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
 
     # --- posting merge: old blocks → (term, band) groups → re-encode ---
@@ -148,6 +151,11 @@ def compact_generations(
     ).partitionBy("bucket").parquet(f"{out_dir}/postings")
 
     # --- lineage: one batched read-back job over the compacted tree ---
+    # postings above were FULLY overwritten, but lineage rows are written
+    # per bucket=N subdir — recompacting into an out_dir whose previous
+    # contents had MORE buckets would leave stale bucket=N dirs behind and
+    # load_index would report phantom buckets. Clear the whole table first.
+    shutil.rmtree(os.path.join(out_dir, "_lineage"), ignore_errors=True)
     bstats = (
         spark.read.option("basePath", f"{out_dir}/postings")
         .parquet(f"{out_dir}/postings")

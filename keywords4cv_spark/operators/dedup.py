@@ -235,9 +235,16 @@ def dup_components(
     reach doubles per round and a diameter-D component converges in
     O(log D) rounds, not D. Convergence is detected from Σ labels (labels
     only ever decrease, so an unchanged sum ⇒ a fixed point) — one tiny
-    agg instead of a join-and-count per round. Labels are
+    agg instead of a join-and-count per round. The sum runs in
+    decimal(38,0): an int64 sum could silently wrap at the 10^12-doc
+    design point (Spark long overflow is silent) and fake a fixed point;
+    decimal(38,0) holds Σ of 10^12 labels ≤ 10^12 exactly. Labels are
     localCheckpoint()ed per round so the plan stays O(1), not O(rounds).
+    Exhausting max_iterations without convergence logs a warning — the
+    returned labels are then a valid partial refinement (over-split,
+    never wrongly merged), not the true components.
     """
+    import logging
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -250,7 +257,9 @@ def dup_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         neigh_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -278,11 +287,18 @@ def dup_components(
             )
             .localCheckpoint()
         )
-        cur_sum = updated.agg(F.sum("label")).collect()[0][0]
+        cur_sum = updated.agg(label_sum).collect()[0][0]
         labels = updated
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "dup_components: max_iterations=%d exhausted without convergence; "
+            "labels are over-split (components may not be fully merged)",
+            max_iterations,
+        )
     sym.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return labels.join(sizes, "label").select(

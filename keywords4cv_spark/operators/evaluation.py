@@ -70,6 +70,17 @@ def mean_average_precision(
 
     rank terms by (cf DESC, term ASC); at each whitelist hit take
     hits_so_far / position; AP = mean over hits.
+
+    The global position is assigned with the same partition-offset
+    scheme as index.build.assign_term_ids — ``Window.orderBy`` with no
+    partitionBy would funnel the ENTIRE vocabulary through one task
+    (the 1e9-term blocker): instead range-partition on the rank key,
+    collect per-partition counts (driver-small), broadcast cumulative
+    offsets, and add a within-partition row_number. Range partitions
+    are ordered and disjoint on (cf DESC, term), so offset + local rank
+    IS the global rank. The only remaining global window runs over the
+    whitelist-hit subset — bounded by the whitelist cardinality (a
+    driver-side constant list), not the vocabulary.
     """
     skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
     skill_terms = skills.select(F.col("skill").alias("term")).distinct()
@@ -78,19 +89,42 @@ def mean_average_precision(
         .groupBy("term")
         .agg(F.sum("tf").alias("cf"))
     )
-    w = Window.orderBy(F.col("cf").desc(), F.col("term"))
-    ranked = (
-        dict_df.join(
-            F.broadcast(skill_terms.withColumn("is_skill", F.lit(1))), "term", "left"
-        )
-        .withColumn("is_skill", F.coalesce("is_skill", F.lit(0)))
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn(
-            "hits",
-            F.sum("is_skill").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+    n_parts = spark.sparkContext.defaultParallelism
+    parted = (
+        dict_df.repartitionByRange(n_parts, F.col("cf").desc(), F.col("term"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    return ranked.filter(F.col("is_skill") == 1).agg(
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in parted.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, pos_offset long")
+    w_local = Window.partitionBy("pid").orderBy(F.col("cf").desc(), F.col("term"))
+    positioned = (
+        parted.join(F.broadcast(off_df), "pid")
+        .withColumn("pos", F.row_number().over(w_local) + F.col("pos_offset"))
+        .drop("pid", "pos_offset")
+    )
+    # whitelist-sized relation from here on: hits_so_far at a hit row is
+    # its rank among hit rows in the same global order. Computed as a
+    # broadcast self-join count (O(|whitelist|²) pairs, trivially small)
+    # instead of Window.orderBy(pos) so NO node in this plan — not even a
+    # bounded one — funnels through Exchange SinglePartition.
+    hit_pos = positioned.join(F.broadcast(skill_terms), "term", "left_semi").select(
+        "pos"
+    )
+    earlier = hit_pos.select(F.col("pos").alias("pos_b"))
+    per_hit = (
+        hit_pos.join(F.broadcast(earlier), F.col("pos_b") <= F.col("pos"))
+        .groupBy("pos")
+        .agg(F.count("*").alias("hits"))
+    )
+    return per_hit.agg(
         F.round(F.avg(F.col("hits") / F.col("pos")), 6).alias("average_precision"),
         F.count("*").alias("n_hits"),
     )

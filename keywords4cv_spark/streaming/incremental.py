@@ -81,8 +81,10 @@ SESSION_OUT_SCHEMA = (
     "session_start timestamp, session_end timestamp, session_value double"
 )
 # state rides across micro-batches: the OPEN session per user
+# (n_late counts dropped late rows — see the sessionize_stream docstring)
 SESSION_STATE_SCHEMA = (
-    "session_id long, n_events long, start_us long, last_us long, value double"
+    "session_id long, n_events long, start_us long, last_us long, value double, "
+    "n_late long"
 )
 
 
@@ -100,6 +102,14 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     still-open session lives in per-user state until a later micro-batch
     closes it. Parallelism: state is hash-partitioned by user_id — the
     standard Spark stateful-shuffle shape.
+
+    Late data: an event arriving in a LATER micro-batch with ts earlier
+    than the open session's last event would produce a negative gap —
+    extending the session and dragging last_us backwards, corrupting
+    every subsequent gap. Such rows are DROPPED (the watermark semantics
+    windowed_term_counts applies declaratively, enforced here by hand
+    because applyInPandasWithState leaves late-row policy to the
+    operator); the drop count rides in state for observability.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -107,9 +117,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     def fn(key, pdfs, state: GroupState):
         user_id = int(key[0])
         if state.exists:
-            sid, n, start_us, last_us, value = state.get
+            sid, n, start_us, last_us, value, n_late = state.get
         else:
-            sid, n, start_us, last_us, value = 0, 0, 0, 0, 0.0
+            sid, n, start_us, last_us, value, n_late = 0, 0, 0, 0, 0.0, 0
         closed = []
         # a large group arrives as MULTIPLE Arrow chunks in shuffle order:
         # concatenate and sort ONCE — sorting per chunk would interleave
@@ -120,6 +130,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             batch = batch.sort_values(["ts", "event_id"])
             for ts, val in zip(batch["ts"], batch["value"]):
                 t_us = int(pd.Timestamp(ts).value // 1_000)
+                if n > 0 and t_us < last_us:
+                    n_late += 1  # late vs. prior batches: drop, never rewind
+                    continue
                 gap_s = t_us // 1_000_000 - last_us // 1_000_000
                 if n == 0 or gap_s > gap_seconds:
                     if n > 0:
@@ -128,7 +141,7 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 n += 1
                 last_us = t_us
                 value += float(val)
-        state.update((sid, n, start_us, last_us, value))
+        state.update((sid, n, start_us, last_us, value, n_late))
         if not closed:
             return iter([])
         out = pd.DataFrame(

@@ -67,6 +67,31 @@ def test_dictionary_ids_dense_and_sorted(spark, sf_dir):
         staged.unpersist()
 
 
+def test_map_whitelist_has_no_single_partition_window(spark, sf_dir):
+    """VERDICT r2 #1: the A8 mean-average-precision rank must not funnel
+    the vocabulary through one task. Same partition-offset scheme as the
+    dictionary ids; the bounded hits rank is a broadcast self-join, so
+    the WHOLE plan is SinglePartition-free (bar the final 1-row agg)."""
+    from keywords4cv_spark.operators.evaluation import mean_average_precision
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with without_aqe(spark):
+        df = mean_average_precision(spark, docs, CFG)
+        plan = explain_str(df)
+    # the terminal 1-row agg legitimately gathers to a single partition;
+    # no Window may. In explain output a node's children print BELOW it,
+    # so for every Window line, the next Exchange line underneath is the
+    # shuffle feeding it — assert none of those is SinglePartition.
+    lines = plan.splitlines()
+    window_lines = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert window_lines, plan  # the partition-offset row_number IS a Window
+    for i in window_lines:
+        for ln in lines[i + 1 :]:
+            if "Exchange" in ln:
+                assert "SinglePartition" not in ln, plan
+                break
+
+
 def test_wand_scan_prunes_postings_buckets(spark, sf_dir, tmp_path):
     """Query-time bucket pruning: the WAND plan's postings scan must
     carry a PartitionFilter on the bucket dirs (whole directories of
