@@ -23,13 +23,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+# Gate-priority ordering: the driver's correctness gate has checked a
+# 50-query prefix of this registry per round, while the registry holds
+# more entries than that. Entries are therefore ordered: (1) queries
+# that have never had a driver correctness row or whose last row is a
+# round old, (2) queries whose semantics/plans changed THIS round (an
+# old green row no longer certifies them), (3) everything else, still
+# green from the most recent gate. The dict is the full registry either
+# way — only the iteration order changes.
+_GATE_PRIORITY = [
+    # never driver-checked (r1+r2)
+    "ann_ivf_topk",
+    "bm25_compacted_topk",
+    # green in r1 only, absent from the r2 gate window
+    "assign_to_centroids",
+    "bm25_incremental_topk",
+    "boolean_and_query",
+    "categorize_terms",
+    "label_centroids",
+    "phrase_query",
+    "phrase_query_indexed",
+    "priority_rollup",
+    "returns_cube",
+    "sanitize_docs",
+    "segment_pivot",
+    # changed in round 3 (scaled signatures / rewritten plans / new ops)
+    "simhash_near_dups",
+    "lsh_near_dup_pairs",
+    "ann_lsh_buckets",
+    "canonical_clusters",
+    "map_whitelist",
+    "dup_components",
+    "fuzzy_match_scores",
+    "stream_sessions_closed",
+    "bm25_wand_topk",
+    "bm25_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from keywords4cv_spark.driver_queries import QUERIES
 
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
     from keywords4cv_spark.driver_queries import ORACLES
 
-    return dict(ORACLES)
+    ordered = {n: ORACLES[n] for n in _GATE_PRIORITY if n in ORACLES}
+    ordered.update((n, s) for n, s in ORACLES.items() if n not in ordered)
+    return ordered

@@ -323,6 +323,38 @@ def _sql_tset(s: str) -> str:
     return f"array_to_string(list_sort(list_distinct(string_split({s}, ' '))), ' ')"
 
 
+def _sql_partial(a: str, b: str) -> str:
+    """Twin of scoring._partial_ratio_col: 100·(1 − min windowed lev/|s|).
+    DuckDB range(1, n) is end-exclusive, Spark sequence(1, n) inclusive —
+    hence the +2."""
+    s = f"(CASE WHEN length({a}) <= length({b}) THEN {a} ELSE {b} END)"
+    l = f"(CASE WHEN length({a}) <= length({b}) THEN {b} ELSE {a} END)"
+    return (
+        f"round(100.0 * (1.0 - list_min(list_transform("
+        f"range(1, length({l}) - length({s}) + 2), "
+        f"i -> levenshtein({s}, substr({l}, CAST(i AS INTEGER), length({s}))))) "
+        f"/ length({s})), 2)"
+    )
+
+
+def _sql_wratio(a: str, b: str) -> str:
+    """Twin of scoring._wratio_col (two-regime weighted max)."""
+    base = _sql_ratio(a, b)
+    tsort = _sql_ratio(_sql_tsort(a), _sql_tsort(b))
+    tset = _sql_ratio(_sql_tset(a), _sql_tset(b))
+    partial = _sql_partial(a, b)
+    len_ratio = (
+        f"(CAST(greatest(length({a}), length({b})) AS DOUBLE)"
+        f" / least(length({a}), length({b})))"
+    )
+    balanced = f"greatest({base}, round({tsort} * 0.95, 2), round({tset} * 0.95, 2))"
+    unbalanced = f"greatest({base}, round({partial} * 0.9, 2))"
+    return (
+        f"round(CASE WHEN {len_ratio} < 1.5 THEN {balanced} "
+        f"ELSE {unbalanced} END, 2)"
+    )
+
+
 @register(
     "fuzzy_match_scores",
     f"""
@@ -338,16 +370,19 @@ p(probe) AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in vocab.FUZZY_PH
 scored AS (
   SELECT probe, bigram,
          {_sql_ratio("probe", "bigram")} AS ratio,
+         {_sql_partial("probe", "bigram")} AS partial_ratio,
          {_sql_ratio(_sql_tsort("probe"), _sql_tsort("bigram"))} AS token_sort_ratio,
-         {_sql_ratio(_sql_tset("probe"), _sql_tset("bigram"))} AS token_set_ratio
+         {_sql_ratio(_sql_tset("probe"), _sql_tset("bigram"))} AS token_set_ratio,
+         {_sql_wratio("probe", "bigram")} AS wratio
   FROM big, p
 )
-SELECT probe, bigram, ratio, token_sort_ratio, token_set_ratio
+SELECT probe, bigram, ratio, partial_ratio, token_sort_ratio, token_set_ratio, wratio
 FROM scored WHERE token_sort_ratio >= 60.0""",
 )
 def q_fuzzy_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 multi-scorer family (reference FUZZY_MATCHERS dispatch):
-    ratio / token_sort_ratio / token_set_ratio over corpus bigrams."""
+    """J3 full 5-scorer family (reference FUZZY_MATCHERS dispatch,
+    keywords4cv.py:718-724): ratio / partial_ratio / token_sort_ratio /
+    token_set_ratio / WRatio over corpus bigrams."""
     return scoring.fuzzy_match_scores(spark, _docs(spark, sf_dir), cfg=CFG)
 
 
@@ -788,29 +823,72 @@ def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_docs(spark, sf_dir), CFG)
 
 
+def _simhash64_oracle() -> str:
+    """DuckDB twin of dedup.simhash64: 64 sign bits from the first 16
+    hex digits of md5(term), folded into four 16-bit chunks."""
+    digit = "strpos('0123456789abcdef', substr(h, {k}, 1)) - 1"
+    sums = []
+    for i in range(64):
+        k, j = divmod(i, 4)
+        d = digit.format(k=k + 1)
+        sums.append(
+            f"sum(CASE WHEN (({d}) >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
+        )
+    chunk_cols = []
+    for m in range(dedup.SIMHASH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN s{m * 16 + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        chunk_cols.append(f"CAST({bits} AS INTEGER) AS c{m}")
+    sums_sql = ",\n  ".join(sums)
+    chunks_sql = ", ".join(chunk_cols)
+    return f"""
+WITH {_TF_CTES},
+h AS (SELECT doc_id, term, tf, md5(term) AS h FROM tfs),
+agg AS (SELECT doc_id,
+  {sums_sql}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, {chunks_sql} FROM agg"""
+
+
+@register("simhash64", _simhash64_oracle())
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature (4×16-bit chunks) — the web-scale
+    signature space (VERDICT r2 #2); simhash16 remains as the compact
+    illustrative variant."""
+    return dedup.simhash64(_docs(spark, sf_dir), CFG)
+
+
+_HAMMING64 = " + ".join(
+    f"bit_count(xor(CAST(sa.c{m} AS BIGINT), CAST(sb.c{m} AS BIGINT)))"
+    for m in range(dedup.SIMHASH_BANDS)
+)
+
+
 @register(
     "simhash_near_dups",
     f"""
-WITH sh AS ({_simhash_oracle().strip()}),
+WITH sh AS ({_simhash64_oracle().strip()}),
 bands AS (
-  SELECT doc_id, p.p AS p, (simhash >> (4 * p.p)) & 15 AS nib
+  SELECT doc_id, p.p AS p, list_value(c0, c1, c2, c3)[p.p + 1] AS chunk
   FROM sh, (SELECT unnest(range({dedup.SIMHASH_BANDS})) AS p) p
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.p = b.p AND a.nib = b.nib AND a.doc_id < b.doc_id
+    ON a.p = b.p AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(bit_count(xor(CAST(sa.simhash AS BIGINT), CAST(sb.simhash AS BIGINT))) AS INTEGER) AS hamming
+SELECT c.doc_a, c.doc_b, CAST({_HAMMING64} AS INTEGER) AS hamming
 FROM cand c
 JOIN sh sa ON sa.doc_id = c.doc_a
 JOIN sh sb ON sb.doc_id = c.doc_b
-WHERE bit_count(xor(CAST(sa.simhash AS BIGINT), CAST(sb.simhash AS BIGINT))) <= {dedup.SIMHASH_MAX_HAMMING}""",
+WHERE {_HAMMING64} <= {dedup.SIMHASH_MAX_HAMMING}""",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: lossless banded candidates (hamming ≤ 3 ⇒
-    ≥1 identical nibble of 4) + bit_count(xor) verification."""
+    """SimHash near-dup pairs over the 64-bit signature: lossless banded
+    candidates (hamming ≤ 3 ⇒ ≥1 identical 16-bit chunk of 4) +
+    Σ bit_count(xor(chunk)) verification."""
     return dedup.simhash_near_dups(_docs(spark, sf_dir), CFG)
 
 
@@ -852,44 +930,81 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(spark, _emb(spark, sf_dir), _PROBE_IDS, k=5)
 
 
-def _lsh_bucket_sql(n_planes: int) -> str:
+def _lsh_bucket_sql(n_planes: int, plane_offset: int = 0) -> str:
     projs = []
     for j in range(n_planes):
+        jg = plane_offset + j  # global plane index (multi-table LSH)
+        # literal ±1 sign list (md5-derived, same rule as the Spark and
+        # numpy twins — similarity.plane_sign); fixture embeddings are
+        # EMB_DIM wide
+        signs = ", ".join(
+            str(float(similarity.plane_sign(jg, i)))
+            for i in range(similarity.EMB_DIM)
+        )
         proj = (
             "list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * "
-            f"(CASE WHEN (31 * (i - 1) + {17 * j}) % 2 = 0 THEN 1.0 ELSE -1.0 END)))"
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}][i])))"
         )
         projs.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(projs)
 
 
+# the driver's gate runs at sf0.01 (500 embedding rows): the oracle bakes
+# in the SAME corpus-scaled plane count the Spark side derives at runtime
+_GATE_N_EMB = 500
+_GATE_PLANES = similarity.n_planes_for(_GATE_N_EMB)
+
+
 @register(
     "ann_lsh_buckets",
     f"""
-SELECT vec_id, CAST({_lsh_bucket_sql(similarity.N_PLANES)} AS INTEGER) AS bucket
+SELECT vec_id, CAST({_lsh_bucket_sql(_GATE_PLANES)} AS BIGINT) AS bucket
 FROM embeddings""",
 )
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_buckets(_emb(spark, sf_dir))
+    """Sign-random-projection bucketing at the corpus-scaled plane count
+    (n_planes_for: ~log2(n/target_bucket) — 4 at the 500-vector gate,
+    35 at 10^12)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_buckets(emb, similarity.n_planes_for(emb.count()))
+
+
+def _lsh_pairs_oracle(n_planes: int, n_tables: int) -> str:
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            f"b{t} AS (SELECT vec_id, "
+            f"CAST({_lsh_bucket_sql(n_planes, plane_offset=t * n_planes)} AS BIGINT)"
+            f" AS bucket FROM embeddings)"
+        )
+    cands = " UNION ".join(
+        f"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b "
+        f"FROM b{t} a JOIN b{t} c ON a.bucket = c.bucket AND a.vec_id < c.vec_id"
+        for t in range(n_tables)
+    )
+    tables_sql = ",\n".join(tables)
+    return f"""
+WITH {tables_sql},
+cand AS ({cands}),
+pairs AS (
+  SELECT cand.vec_a, cand.vec_b,
+         {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
 
 
 @register(
     "lsh_near_dup_pairs",
-    f"""
-WITH b AS (
-  SELECT vec_id, CAST({_lsh_bucket_sql(4)} AS INTEGER) AS bucket, embedding
-  FROM embeddings
-),
-pairs AS (
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         {_COS_SQL.format(a="a.embedding", b="c.embedding")} AS cosine
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-)
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3""",
+    _lsh_pairs_oracle(_GATE_PLANES, similarity.DEFAULT_LSH_TABLES),
 )
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3, n_planes=4)
+    """Multi-table LSH near-dup pairs: corpus-scaled plane count (the
+    fixed-4-planes bucket space went quadratic at web scale, VERDICT r2
+    #2) with OR-construction across independent plane sets for recall."""
+    return similarity.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -1024,8 +1139,16 @@ def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from keywords4cv_spark.operators import canonicalize  # noqa: E402
 
+# cache key carries a fingerprint of the plane-sign rule: the fixture
+# content depends on it, and an engine-version tag alone can go stale
+# within a development cycle
+_SIGN_TAG = "".join(
+    "1" if similarity.plane_sign(j, i) > 0 else "0"
+    for j in range(2)
+    for i in range(8)
+)
 _CANON_FIXTURE = os.path.join(
-    tempfile.gettempdir(), f"k4cv_canon_fixture_{_ENGINE_V}"
+    tempfile.gettempdir(), f"k4cv_canon_fixture_{_ENGINE_V}_{_SIGN_TAG}"
 )
 
 

@@ -28,9 +28,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from keywords4cv_spark.operators.similarity import lsh_buckets
+from keywords4cv_spark.operators.similarity import lsh_buckets, n_planes_for
 
-OUT_SCHEMA = "vec_id long, bucket int, cluster int, rep_vec_id long, cluster_size int"
+# bucket is LONG: the corpus-scaled plane count exceeds 31 bits of
+# bucket id at web scale (similarity.n_planes_for)
+OUT_SCHEMA = "vec_id long, bucket long, cluster int, rep_vec_id long, cluster_size int"
 
 
 def dbscan_numpy(vecs: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
@@ -72,7 +74,7 @@ def local_canonical_clusters(
     embeddings,
     eps: float = 0.25,
     min_samples: int = 2,
-    n_planes: int = 4,
+    n_planes: int | None = None,
 ) -> pd.DataFrame:
     """Spark-free twin of canonical_clusters (pure numpy/pandas).
 
@@ -85,13 +87,14 @@ def local_canonical_clusters(
     ids = np.asarray(vec_ids, dtype=np.int64)
     mat = np.array([np.asarray(v, dtype=np.float64) for v in embeddings])
     n, d = mat.shape
+    if n_planes is None:
+        n_planes = n_planes_for(n)  # same corpus-scaled rule as Spark side
+    from keywords4cv_spark.operators.similarity import plane_sign
+
     signs = np.array(
-        [
-            [1.0 if (31 * i + 17 * j) % 2 == 0 else -1.0 for i in range(d)]
-            for j in range(n_planes)
-        ]
+        [[float(plane_sign(j, i)) for i in range(d)] for j in range(n_planes)]
     )
-    buckets = np.zeros(n, dtype=np.int32)
+    buckets = np.zeros(n, dtype=np.int64)
     for r in range(n):
         b = 0
         for j in range(n_planes):
@@ -110,7 +113,7 @@ def local_canonical_clusters(
         sub = pd.DataFrame(
             {
                 "vec_id": ids[order].astype("int64"),
-                "bucket": np.int32(b),
+                "bucket": np.int64(b),
                 "cluster": labels.astype("int32"),
             }
         )
@@ -134,13 +137,20 @@ def canonical_clusters(
     emb: DataFrame,
     eps: float = 0.25,
     min_samples: int = 2,
-    n_planes: int = 4,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket, cluster, rep_vec_id, cluster_size); noise rows
-    carry cluster = -1 and represent themselves."""
+    carry cluster = -1 and represent themselves.
+
+    Plane count defaults to the corpus-scaled rule (n_planes_for) so the
+    per-bucket O(bucket²) DBSCAN stays bounded as the vocabulary grows —
+    a fixed count (16 buckets) gives ~10^15-op buckets at 10^9 terms
+    (VERDICT r2 #3). Pass n_planes=0 for eps-exact global DBSCAN."""
+    if n_planes is None:
+        n_planes = n_planes_for(emb.count())
     b = lsh_buckets(emb, n_planes) if n_planes > 0 else emb.select(
         "vec_id"
-    ).withColumn("bucket", emb.vec_id * 0)
+    ).withColumn("bucket", (emb.vec_id * 0).cast("long"))
     withb = emb.join(b, "vec_id").select("vec_id", "bucket", "embedding")
 
     def run(g: pd.DataFrame) -> pd.DataFrame:

@@ -162,7 +162,54 @@ def jaccard_verified_pairs(
 
 
 SIMHASH_MAX_HAMMING = 3
-SIMHASH_BANDS = 4
+SIMHASH_BANDS = 4  # 64-bit signature banded into 4×16-bit chunks
+SIMHASH_CHUNK_BITS = 16
+
+
+def simhash64(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, c0..c3): 64-bit SimHash as four 16-bit chunks.
+
+    Bit i (0..63) is set iff Σ_terms tf · sign_i(term) > 0, where
+    sign_i = +1 iff bit (i mod 4) of hex digit ⌊i/4⌋ of md5(term) is 1 —
+    64 engine-portable sign bits from the first 16 hex chars. Chunks
+    instead of one int64 keep the top bit out of signed-overflow
+    territory AND are exactly the banding unit: any pair with hamming
+    ≤ 3 over 64 bits shares at least one identical chunk (pigeonhole),
+    so the (band, chunk) equi-join is lossless for max_hamming < 4
+    while the bucket space is 2^16 per band — at web scale the expected
+    bucket occupancy is n/65536 per band, vs n/16 for the 16-bit nibble
+    banding this replaces (VERDICT r2 #2: 65,536 possible 16-bit
+    signatures collide en masse at 10^9+ docs). One exploded groupBy
+    with 64 conditional sums — pure codegen'd aggregation, no UDF.
+    """
+    toks = tokenized_docs(docs, cfg)
+    terms = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    digits = [
+        F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int") for k in range(16)
+    ]
+    sums = []
+    for i in range(64):
+        k, j = divmod(i, 4)
+        bit_on = F.shiftright(digits[k], j).bitwiseAND(F.lit(1)) == 1
+        sums.append(
+            F.sum(F.when(bit_on, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{i}")
+        )
+    agg = terms.groupBy("doc_id").agg(*sums)
+    chunks = []
+    for m in range(SIMHASH_BANDS):
+        c = None
+        for i in range(SIMHASH_CHUNK_BITS):
+            bit = F.when(
+                F.col(f"s{m * SIMHASH_CHUNK_BITS + i}") > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            c = bit if c is None else c + bit
+        chunks.append(c.cast("int").alias(f"c{m}"))
+    return agg.select("doc_id", *chunks)
 
 
 def simhash_near_dups(
@@ -172,50 +219,59 @@ def simhash_near_dups(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): SimHash near-duplicates via banded join.
 
-    Pigeonhole candidate generation: a 16-bit signature split into 4
-    nibbles — any pair with hamming ≤ 3 differs in at most 3 bits, so at
-    least one nibble is IDENTICAL; the equi-join on (band, nibble) is
-    therefore lossless for max_hamming < 4 while never materializing
-    the O(n²) cross product. Verification is bit_count(xor) — pure
-    codegen on both engines.
+    Pigeonhole candidate generation over the 64-bit signature: a pair
+    with hamming ≤ 3 differs in at most 3 bits, so at least one of the
+    4 chunks is IDENTICAL; the equi-join on (band, chunk) is therefore
+    lossless for max_hamming < 4 while never materializing the O(n²)
+    cross product — and each band's bucket space is 2^16, so candidate
+    volume stays ~n²/(4·65536) per band under uniform hashing instead
+    of the ~n²/16 the 16-bit nibble banding allowed. Verification is
+    Σ bit_count(xor(chunk)) — pure codegen on both engines.
     """
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("banding is only lossless for max_hamming < n_bands")
-    sh = simhash16(docs, cfg).persist()
+    sh = simhash64(docs, cfg).persist()
     bands = sh.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(p).alias("p"),
-                        F.shiftright("simhash", 4 * p).bitwiseAND(F.lit(15)).alias("nib"),
+                        F.lit(p).alias("p"), F.col(f"c{p}").alias("chunk")
                     )
                     for p in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", F.col("b.p").alias("p"), F.col("b.nib").alias("nib"))
+    ).select("doc_id", F.col("b.p").alias("p"), F.col("b.chunk").alias("chunk"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{m}").alias(f"a{m}") for m in range(SIMHASH_BANDS)],
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{m}").alias(f"b{m}") for m in range(SIMHASH_BANDS)],
+    )
+    hamming = None
+    for m in range(SIMHASH_BANDS):
+        h = F.bit_count(F.col(f"a{m}").bitwiseXOR(F.col(f"b{m}")))
+        hamming = h if hamming is None else hamming + h
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
-        )
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

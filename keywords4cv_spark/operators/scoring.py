@@ -238,20 +238,72 @@ def _token_set_col(s):
     return F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(s, " "))))
 
 
-FUZZY_SCORERS = ("ratio", "token_sort_ratio", "token_set_ratio")
+def _partial_ratio_col(a, b):
+    """Best-window similarity in [0, 100]: slide the shorter string over
+    every same-length window of the longer and keep the best ratio.
+
+    Re-specifies rapidfuzz ``partial_ratio`` (keywords4cv.py:718-724
+    FUZZY_MATCHERS) on windowed Levenshtein: for shorter s and longer l,
+    score = 100·(1 − min_i lev(s, l[i:i+|s|]) / |s|) — the scorer real
+    users hit for abbreviation-vs-phrase matching. The window scan is a
+    transform over a sequence of start offsets, all JVM-side; windows
+    are |l|−|s|+1 per pair, bounded by the candidate strings' lengths
+    (bigrams/probes), never by corpus size.
+    """
+    s = F.when(F.length(a) <= F.length(b), a).otherwise(b)
+    long_ = F.when(F.length(a) <= F.length(b), b).otherwise(a)
+    m = F.length(s)
+    starts = F.sequence(F.lit(1), F.length(long_) - m + F.lit(1))
+    dists = F.transform(starts, lambda i: F.levenshtein(s, long_.substr(i, m)))
+    return F.when(m == 0, F.lit(100.0)).otherwise(
+        F.round(100.0 * (F.lit(1.0) - F.array_min(dists) / m), 2)
+    )
+
+
+def _wratio_col(a, b):
+    """Weighted combined scorer (re-specified rapidfuzz ``WRatio``
+    dispatch, keywords4cv.py:718-724): for similar-length strings the
+    max of ratio and 0.95-scaled token scorers; for very different
+    lengths the max of ratio and 0.9-scaled partial_ratio (the classic
+    two-regime rule with the length-ratio breakpoint at 1.5)."""
+    base = _ratio_col(a, b)
+    tsort = _ratio_col(_token_sort_col(a), _token_sort_col(b))
+    tset = _ratio_col(_token_set_col(a), _token_set_col(b))
+    partial = _partial_ratio_col(a, b)
+    len_ratio = F.greatest(F.length(a), F.length(b)) / F.least(
+        F.length(a), F.length(b)
+    )
+    balanced = F.greatest(base, F.round(tsort * 0.95, 2), F.round(tset * 0.95, 2))
+    unbalanced = F.greatest(base, F.round(partial * 0.9, 2))
+    return F.round(F.when(len_ratio < 1.5, balanced).otherwise(unbalanced), 2)
+
+
+FUZZY_SCORERS = (
+    "ratio",
+    "partial_ratio",
+    "token_sort_ratio",
+    "token_set_ratio",
+    "WRatio",
+)
 
 
 def fuzzy_score_col(scorer: str, a, b):
-    """Configurable fuzzy scorer dispatch (reference FUZZY_MATCHERS):
-    ratio / token_sort_ratio (order-insensitive) / token_set_ratio
-    (order- and multiplicity-insensitive). All pure column expressions.
+    """Configurable fuzzy scorer dispatch (the reference's 5-scorer
+    FUZZY_MATCHERS family, keywords4cv.py:718-724): ratio /
+    partial_ratio (best-window) / token_sort_ratio (order-insensitive) /
+    token_set_ratio (order- and multiplicity-insensitive) / WRatio
+    (two-regime weighted max). All pure column expressions.
     """
     if scorer == "ratio":
         return _ratio_col(a, b)
+    if scorer == "partial_ratio":
+        return _partial_ratio_col(a, b)
     if scorer == "token_sort_ratio":
         return _ratio_col(_token_sort_col(a), _token_sort_col(b))
     if scorer == "token_set_ratio":
         return _ratio_col(_token_set_col(a), _token_set_col(b))
+    if scorer == "WRatio":
+        return _wratio_col(a, b)
     raise ValueError(f"unknown fuzzy scorer {scorer!r}")
 
 
@@ -263,10 +315,11 @@ def fuzzy_match_scores(
     cfg: EngineConfig = DEFAULT_CONFIG,
     top_bigrams: int = 200,
 ) -> DataFrame:
-    """(probe, bigram, ratio, token_sort_ratio, token_set_ratio) over the
-    corpus's top bigrams — multi-word fuzzy matching where the three
-    scorers genuinely diverge (word-order swaps, duplicated words).
-    Candidates are the top-N bigrams (broadcast-sized); probes broadcast.
+    """(probe, bigram, ratio, partial_ratio, token_sort_ratio,
+    token_set_ratio, wratio) over the corpus's top bigrams — the full
+    5-scorer family where the scorers genuinely diverge (word-order
+    swaps, duplicated words, substring alignment). Candidates are the
+    top-N bigrams (broadcast-sized); probes broadcast.
     """
     probes = probes if probes is not None else vocab.FUZZY_PHRASE_PROBES
     pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
@@ -288,12 +341,16 @@ def fuzzy_match_scores(
         "probe",
         "bigram",
         fuzzy_score_col("ratio", F.col("probe"), F.col("bigram")).alias("ratio"),
+        fuzzy_score_col("partial_ratio", F.col("probe"), F.col("bigram")).alias(
+            "partial_ratio"
+        ),
         fuzzy_score_col("token_sort_ratio", F.col("probe"), F.col("bigram")).alias(
             "token_sort_ratio"
         ),
         fuzzy_score_col("token_set_ratio", F.col("probe"), F.col("bigram")).alias(
             "token_set_ratio"
         ),
+        fuzzy_score_col("WRatio", F.col("probe"), F.col("bigram")).alias("wratio"),
     )
     return scored.filter(F.col("token_sort_ratio") >= min_token_sort)
 

@@ -138,20 +138,76 @@ def test_canonical_clusters_spark_vs_local(spark):
 
 def test_simhash_near_dups_banding_lossless(spark, docs):
     """Banded candidates must find EVERY pair with hamming ≤ 3 (pigeonhole
-    over 4 nibbles) — verify against a brute-force pass over signatures."""
-    sh = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+    over the 4×16-bit chunks of the 64-bit signature) — verify against a
+    brute-force pass over signatures."""
+    sh = {
+        r.doc_id: (r.c0, r.c1, r.c2, r.c3)
+        for r in dedup.simhash64(docs).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sh[a], sh[b]))
+
     ids = sorted(sh)
     want = {
-        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        (a, b): ham(a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(sh[a] ^ sh[b]).count("1") <= 3
+        if ham(a, b) <= 3
     }
     got = {
         (r.doc_a, r.doc_b): r.hamming
         for r in dedup.simhash_near_dups(docs).collect()
     }
     assert got == want
+
+
+def test_signature_spaces_shrink_buckets(spark, docs, emb):
+    """VERDICT r2 #2: the candidate-generation bucket spaces must grow
+    with signature width / corpus size so within-bucket verification
+    never goes quadratic.
+
+    - SimHash: the 64-bit chunk banding's worst band bucket must hold
+      no more docs than the old 16-bit nibble banding's worst bucket
+      (2^16 buckets/band vs 2^4).
+    - LSH: max bucket occupancy is non-increasing in plane count, and
+      the corpus-scaled rule grows the plane count with n."""
+    # --- SimHash band-bucket occupancy, old vs new banding ---
+    sh64 = dedup.simhash64(docs).collect()
+    sh16 = dedup.simhash16(docs).collect()
+    from collections import Counter
+
+    nib = Counter()
+    for r in sh16:
+        for p in range(4):
+            nib[(p, (r.simhash >> (4 * p)) & 15)] += 1
+    chunk = Counter()
+    for r in sh64:
+        for p, c in enumerate((r.c0, r.c1, r.c2, r.c3)):
+            chunk[(p, c)] += 1
+    assert max(chunk.values()) < max(nib.values()), (
+        max(chunk.values()),
+        max(nib.values()),
+    )
+    # --- LSH bucket occupancy monotone in plane count ---
+    def max_bucket(planes):
+        counts = (
+            similarity.lsh_buckets(emb, planes)
+            .groupBy("bucket")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return int(counts)
+
+    m2, m4, m8 = max_bucket(2), max_bucket(4), max_bucket(8)
+    assert m2 >= m4 >= m8
+    assert m8 < m2  # strictly shrinks across the sweep
+    # --- corpus-scaled plane rule grows with n ---
+    assert similarity.n_planes_for(500) == 4
+    assert similarity.n_planes_for(2_000) == 6
+    assert similarity.n_planes_for(10**12) == 35
+    assert similarity.n_planes_for(10) >= 1
 
 
 def test_dup_components_label_propagation(spark):
