@@ -48,6 +48,9 @@ _GATE_PRIORITY = [
     "sanitize_docs",
     "segment_pivot",
     # changed in round 3 (scaled signatures / rewritten plans / new ops)
+    "simhash64",
+    "phrase_query_compacted",
+    "context_validated_semantic",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

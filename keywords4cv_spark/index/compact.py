@@ -14,7 +14,10 @@ generations pile up this operator compacts them:
 - postings: per (term, doc-band) group across all generations, decode
   the blocks, concatenate (disjoint doc ids, sorted), re-encode with
   the COMBINED statistics — block-max scores are exact again, not the
-  conservative tf-only bounds bm25_wand_multi must use;
+  conservative tf-only bounds bm25_wand_multi must use. Positional
+  payloads (store_positions generations) merge too: the per-doc
+  position streams are decoded, carried through the doc-id sort and
+  re-encoded, so phrase search works unchanged on the compacted index;
 - the compacted tree is written in the same layout build_index
   produces, so load_index / bm25_wand / phrase_search work unchanged.
   The commit unit is the whole compaction (one _SUCCESS per table) —
@@ -43,7 +46,11 @@ from keywords4cv_spark.index.build import (
     assign_term_ids,
     load_index,
 )
-from keywords4cv_spark.index.codec import decode_block, encode_postings
+from keywords4cv_spark.index.codec import (
+    decode_block,
+    decode_block_positions,
+    encode_postings,
+)
 
 
 def compact_generations(
@@ -56,17 +63,23 @@ def compact_generations(
     from keywords4cv_spark.deploy import ensure_py_files
 
     ensure_py_files(spark)
-    # positional payloads are NOT carried through the merge (decode_block
-    # drops the position tail) — refuse loudly instead of corrupting
-    # phrase search on the compacted index
-    for idx in indexes:
-        if "store_positions" in idx.stats.columns and bool(
-            idx.stats_row()["store_positions"]
-        ):
-            raise NotImplementedError(
-                "compact_generations does not merge positional postings yet; "
-                "rebuild with build_index over the union instead"
-            )
+    # positional payloads ARE carried through the merge (decode the
+    # per-doc position streams, concatenate, re-encode — the codec
+    # frames positions by tf, codec.py decode_block_positions), but a
+    # MIX of positional and non-positional generations can't produce a
+    # consistent index: refuse that, not positions themselves
+    pos_flags = [
+        "store_positions" in idx.stats.columns
+        and bool(idx.stats_row()["store_positions"])
+        for idx in indexes
+    ]
+    store_positions = all(pos_flags)
+    if any(pos_flags) and not store_positions:
+        raise ValueError(
+            "compact_generations: cannot merge positional and non-positional "
+            "generations into one index — rebuild the non-positional ones "
+            "with store_positions=True first"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     # --- combined stats (exact integer arithmetic) ---
@@ -102,7 +115,19 @@ def compact_generations(
     from keywords4cv_spark.index.build import DOC_BAND_LAYOUT
 
     spark.createDataFrame(
-        [(n_docs, avgdl, sum_dl, k1, b, cfg.n_term_buckets, False, 0, DOC_BAND_LAYOUT)],
+        [
+            (
+                n_docs,
+                avgdl,
+                sum_dl,
+                k1,
+                b,
+                cfg.n_term_buckets,
+                store_positions,
+                0,
+                DOC_BAND_LAYOUT,
+            )
+        ],
         "n_docs long, avgdl double, sum_dl long, k1 double, b double, "
         "n_term_buckets int, store_positions boolean, input_hash long, layout string",
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
@@ -122,9 +147,17 @@ def compact_generations(
         term_id = int(pdf["new_term_id"].iloc[0])
         segment = int(pdf["segment"].iloc[0])
         df_val = int(pdf["df"].iloc[0])
-        docs_l, tfs_l, dls_l = [], [], []
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
         for _, row in pdf.iterrows():
-            d, t, ln = decode_block(row["payload"], int(row["n"]), int(row["first_doc"]))
+            if store_positions:
+                d, t, ln, pos = decode_block_positions(
+                    row["payload"], int(row["n"]), int(row["first_doc"])
+                )
+                pos_l.extend(pos)
+            else:
+                d, t, ln = decode_block(
+                    row["payload"], int(row["n"]), int(row["first_doc"])
+                )
             docs_l.append(d)
             tfs_l.append(t)
             dls_l.append(ln)
@@ -132,7 +165,19 @@ def compact_generations(
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
         idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
-        blocks = encode_postings(docs, tfs, dls, idf, k1, b, avgdl, block_size)
+        # encode_postings re-sorts by doc_id (stable) and reorders the
+        # aligned positions list with the same permutation
+        blocks = encode_postings(
+            docs,
+            tfs,
+            dls,
+            idf,
+            k1,
+            b,
+            avgdl,
+            block_size,
+            positions=pos_l if store_positions else None,
+        )
         out = pd.DataFrame(blocks)
         out.insert(0, "segment", segment)
         out.insert(0, "term_id", term_id)

@@ -204,3 +204,117 @@ def context_validated_terms(
             (F.col("n_context_other") >= min_context_hits).alias("valid"),
         )
     )
+
+
+SEMANTIC_THRESHOLD = 0.1
+
+
+def context_validated_semantic(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    window: int = CONTEXT_WINDOW,
+    threshold: float = SEMANTIC_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, term, first_sent, n_context_other, sem_cosine, valid):
+    J4 with the reference's SEMANTIC scorer restored
+    (validation_utils.py:50-143 — keyword vs context-vector cosine).
+
+    The context window is the same ±w sentences around the keyword's
+    first sentence as context_validated_terms; the validator is now
+    cosine(term_vector, context_centroid) ≥ threshold, where the
+    context centroid is the tf-weighted mean embedding of OTHER
+    whitelist terms in the window. Term→vector mapping is the rank of
+    the skill in the sorted whitelist joined to the embeddings table's
+    vec_id — disclosed plumbing for the container's synthetic vectors
+    (the reference ships real word vectors; the relational shape is
+    identical for any embedding source). Keywords with an empty context
+    window have NULL sem_cosine and are invalid — the reference's
+    "insufficient context" branch.
+
+    Scale shape: anchors × window hits is a bounded range join (window
+    is a small constant), the per-dimension centroid is one groupBy,
+    and both the term→vec map and the term embeddings broadcast.
+    """
+    from keywords4cv_spark.operators.similarity import cosine_col
+
+    hits = _sentence_skill_hits(spark, docs, cfg).persist()
+    skills = sorted({s_ for _, s_ in vocab.SKILLS})
+    tv = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(skills)], "term string, vec_id long"
+    )
+    evec = emb.select("vec_id", "embedding")
+    first = Window.partitionBy("doc_id", "term").orderBy("sent_idx")
+    anchors = (
+        hits.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", F.col("sent_idx").alias("first_sent"))
+    )
+    h = hits.select(
+        F.col("doc_id").alias("h_doc"),
+        F.col("term").alias("ctx_term"),
+        F.col("sent_idx").alias("h_sent"),
+        "cnt",
+    )
+    ctx = anchors.join(
+        h,
+        (anchors.doc_id == F.col("h_doc"))
+        & (F.col("h_sent") >= F.col("first_sent") - window)
+        & (F.col("h_sent") <= F.col("first_sent") + window)
+        & (F.col("ctx_term") != anchors.term),
+    ).select("doc_id", "term", "first_sent", "ctx_term", "cnt")
+    nctx = ctx.groupBy("doc_id", "term").agg(
+        F.sum("cnt").cast("long").alias("n_context_other")
+    )
+    ctx_e = ctx.join(
+        F.broadcast(tv.withColumnRenamed("term", "ctx_term").withColumnRenamed(
+            "vec_id", "ctx_vec"
+        )),
+        "ctx_term",
+    ).join(evec.withColumnRenamed("vec_id", "ctx_vec"), "ctx_vec")
+    cdim = (
+        ctx_e.select(
+            "doc_id", "term", "first_sent", "cnt",
+            F.posexplode("embedding").alias("i", "x"),
+        )
+        .groupBy("doc_id", "term", "first_sent", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double") * F.col("cnt")) / F.sum("cnt"), 9
+            ).alias("m")
+        )
+    )
+    cent = (
+        cdim.groupBy("doc_id", "term", "first_sent")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(
+            "doc_id", "term", "first_sent",
+            F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid"),
+        )
+    )
+    term_emb = tv.join(evec, "vec_id").select(
+        "term", F.col("embedding").alias("t_emb")
+    )
+    out = (
+        anchors.join(nctx, ["doc_id", "term"], "left")
+        .join(cent, ["doc_id", "term", "first_sent"], "left")
+        .join(F.broadcast(term_emb), "term")
+        .withColumn(
+            "sem_cosine",
+            F.when(
+                F.col("centroid").isNotNull(),
+                F.round(cosine_col(F.col("t_emb"), F.col("centroid")), 6),
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "term",
+        "first_sent",
+        F.coalesce("n_context_other", F.lit(0)).cast("long").alias(
+            "n_context_other"
+        ),
+        "sem_cosine",
+        F.coalesce(F.col("sem_cosine") >= threshold, F.lit(False)).alias("valid"),
+    )

@@ -191,14 +191,75 @@ def lsh_buckets(
     return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
+KMEANS_ITER = 3
+
+
+def train_kmeans(
+    emb: DataFrame, nlist: int, n_iter: int = KMEANS_ITER
+) -> DataFrame:
+    """(label, centroid array<double>): deterministic Lloyd k-means —
+    the trained coarse quantizer for IVF (replaces the r2 per-label
+    means, whose nlist was bounded by label cardinality the caller
+    doesn't control).
+
+    Determinism contract (SURVEY §7.4): init = the embeddings of the
+    ``nlist`` LOWEST vec_ids (no RNG), a FIXED number of Lloyd rounds
+    (no data-dependent convergence test), assignment by round(cos, 6)
+    DESC with label tie-break, and centroid components rounded to 9
+    decimals — so the Spark aggregation and the DuckDB oracle's
+    unrolled iterations agree bit-for-bit at every comparison point.
+    Each round is one broadcast-argmax assignment + one dimension-wise
+    avg shuffle; centroids are collected per round (nlist × dim,
+    driver-small by IVF's own design — the centroid table must
+    broadcast at query time anyway). Lists that lose all members drop
+    out (both engines), so nlist is an upper bound.
+    """
+    from keywords4cv_spark.operators.categorize import assign_to_centroids
+
+    spark = emb.sparkSession
+    init_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(nlist).collect()
+    )
+    cents_rows = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init_rows)
+    ]
+    schema = "label int, centroid array<double>"
+    cents = spark.createDataFrame(cents_rows, schema)
+    for _ in range(n_iter):
+        asg = assign_to_centroids(emb, cents).select("vec_id", "assigned_label")
+        dims = (
+            emb.join(asg, "vec_id")
+            .select(
+                F.col("assigned_label").alias("label"),
+                F.posexplode("embedding").alias("i", "x"),
+            )
+            .groupBy("label", "i")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("m"))
+        )
+        new_rows = (
+            dims.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select(
+                "label", F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid")
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(int(r["label"]), list(r["centroid"])) for r in new_rows], schema
+        )
+    return cents
+
+
 def ivf_topk(
     spark: SparkSession,
     emb: DataFrame,
     probe_ids: list[int],
     k: int = 5,
     nprobe: int = 2,
+    nlist: int | None = None,
+    n_iter: int = KMEANS_ITER,
 ) -> DataFrame:
-    """IVF-Flat ANN: coarse quantizer = per-label mean centroids; each
+    """IVF-Flat ANN: coarse quantizer = trained k-means centroids; each
     probe searches only the ``nprobe`` nearest inverted lists.
 
     The classic IVF shape (train coarse centroids → assign each vector
@@ -207,14 +268,17 @@ def ivf_topk(
     fan-out is a tiny broadcast, and the fine search touches only the
     selected lists' vectors — at 100 TB the assignment table is the
     partitioning key, so a probe reads O(corpus/nlist · nprobe).
+    nlist defaults to ~√n (the standard IVF sizing); training is
+    deterministic (train_kmeans).
     Deterministic: cosine rounded to 6, ties break on vec_id/label.
     """
-    from keywords4cv_spark.operators.categorize import (
-        assign_to_centroids,
-        label_centroids,
-    )
+    from keywords4cv_spark.operators.categorize import assign_to_centroids
 
-    cents = label_centroids(emb).persist()
+    if nlist is None:
+        import math
+
+        nlist = max(2, int(math.isqrt(emb.count())))
+    cents = train_kmeans(emb, nlist, n_iter).persist()
     assign = assign_to_centroids(emb, cents)  # (vec_id, assigned_label, cosine)
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")

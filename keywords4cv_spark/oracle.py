@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from keywords4cv_spark.textprep.normalize import (
     EMAIL_PATTERN,
+    LEMMA_EXCEPTIONS,
     NON_ALNUM_PATTERN,
     SEP_PATTERN,
     URL_PATTERN,
@@ -37,12 +38,21 @@ def tokens_sql(
     min_token_len: int = 2,
     stopwords: frozenset[str] = frozenset(),
 ) -> str:
-    """list<varchar> of kept tokens (duplicates preserved)."""
+    """list<varchar> of kept tokens (duplicates preserved), lemma-folded
+    with the same exception dictionary as normalize.tokenize (a CASE
+    chain — engine-portable, order-free lookup)."""
     pred = f"length(t) >= {min_token_len}"
     if stopwords:
         quoted = ", ".join(f"'{s}'" for s in sorted(stopwords))
         pred += f" AND t NOT IN ({quoted})"
-    return f"list_filter(string_split({norm_sql(col)}, ' '), t -> {pred})"
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(LEMMA_EXCEPTIONS.items())
+    )
+    lemma = f"CASE t {whens} ELSE t END"
+    return (
+        f"list_transform(list_filter(string_split({norm_sql(col)}, ' '), "
+        f"t -> {pred}), t -> {lemma})"
+    )
 
 
 def bm25_idf_sql(df_col: str, n_docs: str) -> str:

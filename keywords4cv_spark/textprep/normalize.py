@@ -45,6 +45,83 @@ EMAIL_RE = re.compile(EMAIL_PATTERN)
 NON_ALNUM_RE = re.compile(NON_ALNUM_PATTERN)
 SEP_RE = re.compile(SEP_PATTERN)
 
+# Deterministic lemma pass (SURVEY §5.2a follow-up, VERDICT r2 missing
+# #5): the reference lemma-casefolds tokens via spaCy
+# (/root/reference/keywords4cv.py:618-678); model-driven lemmas are
+# outside the determinism contract, so the engine folds a FIXED
+# exception dictionary of common plural/irregular forms instead —
+# applied AFTER length/stopword filtering, identically in all four
+# twins (Python, Spark expr, pandas UDF, DuckDB SQL). Every value
+# respects min_token_len >= 2 by construction. Extend, never reorder:
+# the fold is key→value lookup, order-free.
+LEMMA_EXCEPTIONS: dict[str, str] = {
+    # regular tech/resume plurals
+    "applications": "application",
+    "batches": "batch",
+    "blocks": "block",
+    "caches": "cache",
+    "clusters": "cluster",
+    "columns": "column",
+    "customers": "customer",
+    "databases": "database",
+    "days": "day",
+    "documents": "document",
+    "engines": "engine",
+    "executors": "executor",
+    "files": "file",
+    "filters": "filter",
+    "frameworks": "framework",
+    "groups": "group",
+    "hashes": "hash",
+    "indexes": "index",
+    "jobs": "job",
+    "joins": "join",
+    "keys": "key",
+    "languages": "language",
+    "lines": "line",
+    "merges": "merge",
+    "models": "model",
+    "nodes": "node",
+    "orders": "order",
+    "pages": "page",
+    "partitions": "partition",
+    "parts": "part",
+    "pipelines": "pipeline",
+    "projects": "project",
+    "queries": "query",
+    "ranks": "rank",
+    "requirements": "requirement",
+    "rows": "row",
+    "scans": "scan",
+    "scores": "score",
+    "services": "service",
+    "shards": "shard",
+    "skills": "skill",
+    "sorts": "sort",
+    "stores": "store",
+    "streams": "stream",
+    "systems": "system",
+    "tables": "table",
+    "tasks": "task",
+    "teams": "team",
+    "technologies": "technology",
+    "terms": "term",
+    "tokens": "token",
+    "tools": "tool",
+    "users": "user",
+    "values": "value",
+    "vectors": "vector",
+    "windows": "window",
+    "workers": "worker",
+    "years": "year",
+    # irregulars
+    "analyses": "analysis",
+    "children": "child",
+    "indices": "index",
+    "matrices": "matrix",
+    "vertices": "vertex",
+}
+
 
 def normalize_text(text: str) -> str:
     """Lowercase + strip URLs/emails/punctuation + collapse separators.
@@ -71,7 +148,7 @@ def tokenize(
     if not norm:
         return []
     return [
-        t
+        LEMMA_EXCEPTIONS.get(t, t)
         for t in norm.split(" ")
         if len(t) >= min_token_len and t not in stopwords
     ]

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from keywords4cv_spark.textprep.normalize import (
     EMAIL_PATTERN,
+    LEMMA_EXCEPTIONS,
     NON_ALNUM_PATTERN,
     SEP_PATTERN,
     URL_PATTERN,
@@ -37,7 +38,9 @@ def tokens_col(
     stopwords: frozenset[str] = frozenset(),
 ) -> Column:
     """array<string> of kept tokens. NB: F.filter (not array_except,
-    which would dedup and break term frequencies)."""
+    which would dedup and break term frequencies). The lemma fold is a
+    constant map literal lookup (element_at on a literal map → NULL for
+    non-exceptions → coalesce) — stays in codegen, no UDF."""
     arr = F.split(normalized_col(col), " ")
     stop = sorted(stopwords)
 
@@ -47,7 +50,11 @@ def tokens_col(
             cond = cond & ~x.isin(*stop)
         return cond
 
-    return F.filter(arr, keep)
+    kept = F.filter(arr, keep)
+    lemma_map = F.create_map(
+        *[F.lit(x) for kv in sorted(LEMMA_EXCEPTIONS.items()) for x in kv]
+    )
+    return F.transform(kept, lambda t: F.coalesce(F.element_at(lemma_map, t), t))
 
 
 def ngrams_col(tokens: Column, lo: int = 1, hi: int = 3) -> Column:

@@ -247,9 +247,22 @@ def test_ivf_topk_matches_exact_on_clustered_data(spark):
     }
     ivf = {
         (r.probe_id, r.rank): r.vec_id
-        for r in similarity.ivf_topk(spark, emb, probes, k=3, nprobe=1).collect()
+        for r in similarity.ivf_topk(
+            spark, emb, probes, k=3, nprobe=1, nlist=4
+        ).collect()
     }
     assert ivf == exact
+    # recall@k vs brute force at the default ~sqrt(n) list sizing: the
+    # trained quantizer may split a cluster across lists, so nprobe=2
+    # must still recover most true neighbours (deterministic value —
+    # the whole pipeline is RNG-free)
+    ivf_default = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in similarity.ivf_topk(spark, emb, probes, k=3, nprobe=2).collect()
+    }
+    hits = sum(1 for key, v in exact.items() if ivf_default.get(key) == v)
+    recall = hits / len(exact)
+    assert recall >= 0.8, recall
 
 
 def test_jaccard_prunes_to_candidate_docs(spark, docs):

@@ -149,3 +149,26 @@ def test_real_corpus_parity(spark):
     assert set(got) == set(oracle)
     for d in got:
         assert got[d] == list(oracle[d]) == tokenize(texts[d]), d
+
+
+def test_lemma_exception_fold(spark):
+    """The deterministic lemma pass (plural/irregular exception
+    dictionary) folds identically in all four twins and only AFTER
+    length/stopword filtering."""
+    from keywords4cv_spark.textprep.normalize import LEMMA_EXCEPTIONS
+
+    text = "Tables and queries over indices: the children of matrices."
+    want = tokenize(text)
+    assert "table" in want and "query" in want and "index" in want
+    assert "child" in want and "matrix" in want
+    assert not any(t in LEMMA_EXCEPTIONS for t in want)
+    got_spark = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(tokens_col(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    con = duckdb.connect()
+    got_duck = con.execute(f"SELECT {tokens_sql('?')}", [text]).fetchone()[0]
+    assert list(got_spark) == list(got_duck) == want
+    # every exception value satisfies the default min token length
+    assert all(len(v) >= 2 for v in LEMMA_EXCEPTIONS.values())
