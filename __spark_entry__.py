@@ -51,6 +51,8 @@ _GATE_PRIORITY = [
     "simhash64",
     "phrase_query_compacted",
     "context_validated_semantic",
+    "boolean_or_not_query",
+    "curated_corpus",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

@@ -1661,6 +1661,130 @@ def q_boolean_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_QUALITY_MIN = 0.5
+
+
+@register(
+    "curated_corpus",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES},
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dupedges
+        UNION SELECT doc_b, doc_a FROM dupedges),
+reach(doc, lab) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.doc
+),
+comp AS (SELECT doc AS doc_id, min(lab) AS rep_doc_id FROM reach GROUP BY doc),
+qf AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in textstats.STOPWORD_SET)}))) AS DOUBLE)
+               / len(toks), 6) AS stop_ratio,
+         round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               / len(toks), 6) AS mean_token_len
+  FROM d WHERE len(toks) > 0
+),
+qual AS (
+  SELECT doc_id,
+         round({textstats.QUALITY_WEIGHTS["len"]} * least(n_tokens / 100.0, 1.0)
+               + {textstats.QUALITY_WEIGHTS["stop"]} * least(stop_ratio * 5.0, 1.0)
+               + {textstats.QUALITY_WEIGHTS["alpha"]} * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0
+                                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM qf
+)
+SELECT q.doc_id, q.quality
+FROM qual q
+WHERE q.quality >= {_CURATION_QUALITY_MIN}
+  AND NOT EXISTS (SELECT 1 FROM comp c
+                  WHERE c.doc_id = q.doc_id AND c.doc_id != c.rep_doc_id)""",
+)
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation composition — THE canonical LLM-pipeline
+    op: keep docs that (a) pass the quality gate and (b) are either
+    unique or the REPRESENTATIVE of their near-duplicate component
+    (candidate→verify LSH dedup + connected components + min-label
+    keep-one rule). One tokenize pass feeds both branches."""
+    docs = _docs(spark, sf_dir)
+    qual = (
+        textstats.quality_scores(docs, CFG)
+        .filter(F.col("quality") >= _CURATION_QUALITY_MIN)
+        .select("doc_id", "quality")
+    )
+    edges = dedup.jaccard_verified_pairs(docs, CFG)
+    comp = dedup.dup_components(edges)
+    non_reps = comp.filter(F.col("doc_id") != F.col("rep_doc_id")).select("doc_id")
+    return qual.join(non_reps, "doc_id", "left_anti")
+
+
+# disjunctive retrieval with exclusion: (query, should-terms, must-not-terms)
+_OR_NOT_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (0, ["merge", "join"], ["slow"]),
+    (1, ["vector", "stream"], ["batch"]),
+    (2, ["zzznope"], ["the"]),  # absent should-term → empty result
+]
+
+
+def _or_not_values() -> tuple[str, str]:
+    sh = ", ".join(
+        f"({qid}, '{t}')" for qid, should, _ in _OR_NOT_QUERIES for t in should
+    )
+    no = ", ".join(
+        f"({qid}, '{t}')" for qid, _, nots in _OR_NOT_QUERIES for t in nots
+    )
+    return (
+        f"sq(query_id, term) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES {sh}) v(c0, c1))",
+        f"nq(query_id, term) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES {no}) v(c0, c1))",
+    )
+
+
+@register(
+    "boolean_or_not_query",
+    f"""
+WITH {_TF_CTES},
+{_or_not_values()[0]},
+{_or_not_values()[1]},
+should_hits AS (
+  SELECT s.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS n_should_hit
+  FROM sq s JOIN tfs t USING (term)
+  GROUP BY s.query_id, t.doc_id
+),
+not_hits AS (
+  SELECT DISTINCT n.query_id, t.doc_id FROM nq n JOIN tfs t USING (term)
+)
+SELECT sh.query_id, sh.doc_id, sh.n_should_hit
+FROM should_hits sh
+ANTI JOIN not_hits x ON x.query_id = sh.query_id AND x.doc_id = sh.doc_id""",
+)
+def q_boolean_or_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive retrieval with exclusion (OR + NOT): docs containing
+    ANY should-term and NO must-not-term — the postings-union +
+    exclusion-anti-join complement of boolean_and_query. The exclusion
+    is a broadcast-keyed LEFT ANTI join over (query, doc)."""
+    from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
+
+    tf_df = term_frequencies(tokenized_docs(_docs(spark, sf_dir), CFG)).persist()
+    sq = spark.createDataFrame(
+        [(qid, t) for qid, should, _ in _OR_NOT_QUERIES for t in should],
+        "query_id long, term string",
+    )
+    nq = spark.createDataFrame(
+        [(qid, t) for qid, _, nots in _OR_NOT_QUERIES for t in nots],
+        "query_id long, term string",
+    )
+    should_hits = (
+        tf_df.join(F.broadcast(sq), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_should_hit"))
+    )
+    not_hits = (
+        tf_df.join(F.broadcast(nq), "term").select("query_id", "doc_id").distinct()
+    )
+    return should_hits.join(
+        not_hits, ["query_id", "doc_id"], "left_anti"
+    ).select("query_id", "doc_id", "n_should_hit")
+
+
 _PHRASES = ["merge join", "the data", "table scan"]
 
 

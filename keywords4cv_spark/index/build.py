@@ -214,12 +214,22 @@ def assign_term_ids(agg: DataFrame, n_partitions: int | None = None) -> DataFram
 
 
 def build_dictionary(tf_df: DataFrame) -> DataFrame:
-    """(term, term_id, df, cf). term_id = dense rank of term (deterministic)."""
+    """(term, term_id, df, cf, h). term_id = dense rank of term
+    (deterministic). ``h`` is the per-term content fingerprint
+    bit_xor(xxhash64(term, doc_id, tf)) computed IN THE SAME shuffle as
+    df/cf — one extra agg expression, zero extra jobs. XOR is
+    associative and commutative, so per-BUCKET input fingerprints are
+    the XOR of ``h`` over the bucket's terms: a vocabulary-sized agg
+    instead of the postings-sized second pass this replaces (the
+    non-scaling ~fixed-cost stage in BENCH/BASELINE.md's r2 attribution
+    table)."""
     agg = tf_df.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.expr("bit_xor(xxhash64(term, doc_id, tf))").alias("h"),
     )
     ids = assign_term_ids(agg)
-    out = ids.select("term", "term_id", "df", "cf")
+    out = ids.select("term", "term_id", "df", "cf", "h")
     out._k4cv_staged = ids._k4cv_staged
     out._k4cv_vocab_size = ids._k4cv_vocab_size
     return out
@@ -324,17 +334,29 @@ def build_index(
     )
     if not small_vocab:
         posted = posted.persist()
-    # order-independent content fingerprint per bucket, ONE job for all.
-    # This is both the lineage input_hash of newly built buckets AND the
-    # verification gate on resume: a committed bucket is only skipped if
-    # the current input re-hashes to the value recorded when it was built
-    # (mirrors the reference's verify-then-load xxh3 checksum manifest,
+    # order-independent content fingerprint per bucket. This is both the
+    # lineage input_hash of newly built buckets AND the verification gate
+    # on resume: a committed bucket is only skipped if the current input
+    # re-hashes to the value recorded when it was built (mirrors the
+    # reference's verify-then-load xxh3 checksum manifest,
     # keywords4cv.py:2821-2895) — resuming over a CHANGED corpus rebuilds
-    # instead of silently mixing generations.
+    # instead of silently mixing generations. The per-term hashes were
+    # computed inside the dictionary aggregation (build_dictionary), so
+    # this is a |V|-row agg — the postings-sized fingerprint pass that
+    # used to sit here was the one non-scaling stage in the r2 profile.
+    # (Hashing (term, doc, tf) rather than term_id loses nothing:
+    # term_id is the deterministic global term rank, itself a pure
+    # function of the hashed content.)
     hashes: dict[int, int] = {
-        int(r["bucket"]): int(r["h"])
-        for r in posted.groupBy("bucket")
-        .agg(F.expr("bit_xor(xxhash64(term_id, doc_id, tf))").alias("h"))
+        int(r["b"]): int(r["h"])
+        for r in dictionary.select(
+            F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets))
+            .cast("int")
+            .alias("b"),
+            "h",
+        )
+        .groupBy("b")
+        .agg(F.expr("bit_xor(h)").alias("h"))
         .collect()
     }
     # whole-corpus fingerprint (XOR of bucket hashes): dictionary/docmeta/
@@ -345,7 +367,10 @@ def build_index(
     for h in hashes.values():
         total_hash ^= h
     if not _meta_fresh(spark, index_dir, total_hash, resume):
-        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+        # h is build-time scaffolding (bucket fingerprints), not index data
+        dictionary.drop("h").write.mode("overwrite").parquet(
+            f"{index_dir}/dictionary"
+        )
         # docmeta = slim source scan ⋈ per-doc dl from the cached tf rows
         # (dl rides on every tf row; docs whose kept-token list is empty
         # have no tf rows and get dl = 0 — same value a tokenize pass
