@@ -53,6 +53,8 @@ _GATE_PRIORITY = [
     "context_validated_semantic",
     "boolean_or_not_query",
     "curated_corpus",
+    "bm25_recrawl_topk",
+    "bm25_recrawl_purged_topk",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

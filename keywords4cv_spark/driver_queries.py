@@ -85,8 +85,9 @@ _EN_TOKS = (
     "SELECT doc_id, {toks} AS toks FROM documents WHERE lang = 'en'"
 ).format(toks=tokens_sql("text"))
 
-_TF_CTES = f"""
-d AS ({_EN_TOKS}),
+def _tf_ctes(d_sql: str) -> str:
+    return f"""
+d AS ({d_sql}),
 dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
 post AS (SELECT doc_id, unnest(toks) AS term FROM dd),
 tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM post GROUP BY doc_id, term),
@@ -96,14 +97,29 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dd)
 """
 
 
+_TF_CTES = _tf_ctes(_EN_TOKS)
+
+
 def _values_queries() -> str:
     rows = ", ".join(f"({qid}, '{t}')" for qid, t in query_term_pairs())
     return f"q(query_id, term) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES {rows}) v(c0, c1))"
 
 
-def _bm25_oracle(k1: float, b: float, k: int) -> str:
+def _bm25_oracle(
+    k1: float,
+    b: float,
+    k: int,
+    d_sql: str = _EN_TOKS,
+    exclude_pred: str | None = None,
+) -> str:
+    """BM25 top-k oracle. ``d_sql`` overrides the corpus CTE (recrawl
+    scenarios score over a modified doc set); ``exclude_pred`` filters
+    docs AFTER scoring but BEFORE ranking — tombstoned docs never rank,
+    yet still count in n_docs/avgdl/df (Lucene deleted-docs semantics,
+    index/upsert.py)."""
+    filt = f"WHERE NOT ({exclude_pred})" if exclude_pred else ""
     return f"""
-WITH {_TF_CTES},
+WITH {_tf_ctes(d_sql)},
 {_values_queries()},
 scored AS (
   SELECT q.query_id, t.doc_id,
@@ -122,7 +138,7 @@ ranked AS (
          CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
          ) AS INTEGER) AS rank
-  FROM scored
+  FROM scored {filt}
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 """
@@ -2191,3 +2207,114 @@ def q_bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = EngineConfig(n_term_buckets=2, n_salts=4)
         _COMPACT_CACHE[sf_dir] = compact_generations(spark, gens, base, cfg)
     return bm25_wand(spark, _COMPACT_CACHE[sf_dir], CFG, TOP_K)
+
+
+# --- recrawl upsert: same url re-crawled into a later generation -----------
+# A deterministic recrawl scenario over the driver corpus: every 7th doc
+# is "re-crawled" with appended fresh content, a NEW doc_id in its own
+# generation, and the SAME url (synthesized per-doc from source+doc_id —
+# the corpus `source` column alone is a 20-value site label). The stale
+# versions must vanish from results (index/upsert.py).
+_RECRAWL_MOD = 7
+_RECRAWL_OFFSET = 10_000_000
+_RECRAWL_SUFFIX = " refreshed crawl snapshot with updated vector index content"
+# tombstoned docs, in oracle terms: the ORIGINAL version of re-crawled urls
+_RECRAWL_STALE_PRED = f"doc_id % {_RECRAWL_MOD} = 0 AND doc_id < {_RECRAWL_OFFSET}"
+
+_RECRAWL_D_UNION = f"""
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_OFFSET}, {tokens_sql(f"(text || '{_RECRAWL_SUFFIX}')")} AS toks
+  FROM documents WHERE lang = 'en' AND doc_id % {_RECRAWL_MOD} = 0"""
+
+_RECRAWL_D_LIVE = f"""
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+  WHERE lang = 'en' AND doc_id % {_RECRAWL_MOD} != 0
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_OFFSET}, {tokens_sql(f"(text || '{_RECRAWL_SUFFIX}')")} AS toks
+  FROM documents WHERE lang = 'en' AND doc_id % {_RECRAWL_MOD} = 0"""
+
+_RECRAWL_CACHE: dict[str, object] = {}
+
+
+def _recrawl_family(spark: SparkSession, sf_dir: str):
+    """(generations, cfg): gen0 = full corpus, gen1 = the recrawl batch
+    (new doc_ids, same urls, refreshed text) — registered through the
+    snapshot manifest like every multi-generation family."""
+    from keywords4cv_spark.index.manifest import append_generation, load_generations
+
+    if sf_dir not in _RECRAWL_CACHE:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"k4cv_index_recrawl_{_ENGINE_V}",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        cfg = EngineConfig(n_term_buckets=2, n_salts=4)
+        docs = _docs(spark, sf_dir).withColumn(
+            "url", F.concat_ws("/", F.col("source"), F.col("doc_id"))
+        )
+        recrawled = (
+            docs.filter(F.col("doc_id") % _RECRAWL_MOD == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFFSET))
+            .withColumn("text", F.concat(F.col("text"), F.lit(_RECRAWL_SUFFIX)))
+        )
+        build_index(spark, docs, f"{base}/gen0", cfg, url_col="url")
+        build_index(spark, recrawled, f"{base}/gen1", cfg, url_col="url")
+        append_generation(spark, base, f"{base}/gen0")
+        append_generation(spark, base, f"{base}/gen1")
+        _RECRAWL_CACHE[sf_dir] = (load_generations(spark, base), cfg, base)
+    return _RECRAWL_CACHE[sf_dir]
+
+
+@register(
+    "bm25_recrawl_topk",
+    _bm25_oracle(
+        CFG.k1, CFG.b, TOP_K,
+        d_sql=_RECRAWL_D_UNION, exclude_pred=_RECRAWL_STALE_PRED,
+    ),
+)
+def q_bm25_recrawl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-aware multi-generation retrieval: superseded recrawl
+    versions are tombstoned out of every result while statistics keep
+    counting them until compaction (Lucene deleted-docs semantics —
+    the oracle scores over the union corpus and filters stale docs
+    before ranking)."""
+    from keywords4cv_spark.index.upsert import superseded_docs
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    gens, cfg, _ = _recrawl_family(spark, sf_dir)
+    return bm25_wand_multi(
+        spark, gens, cfg, TOP_K, exclude=superseded_docs(gens)
+    )
+
+
+_RECRAWL_PURGED_CACHE: dict[str, object] = {}
+
+
+@register(
+    "bm25_recrawl_purged_topk",
+    _bm25_oracle(CFG.k1, CFG.b, TOP_K, d_sql=_RECRAWL_D_LIVE),
+)
+def q_bm25_recrawl_purged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purging compaction end-to-end: the tombstoned recrawl versions
+    are physically removed, dictionary/stats recomputed over survivors,
+    and the compacted index matches the clean live-corpus oracle with
+    NO query-time exclusion — deletes are gone, statistics restored."""
+    from keywords4cv_spark.index.compact import compact_generations
+    from keywords4cv_spark.index.upsert import superseded_docs
+
+    if sf_dir not in _RECRAWL_PURGED_CACHE:
+        gens, cfg, _ = _recrawl_family(spark, sf_dir)
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"k4cv_index_recrawl_purged_{_ENGINE_V}",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        _RECRAWL_PURGED_CACHE[sf_dir] = (
+            compact_generations(
+                spark, gens, out, cfg, superseded=superseded_docs(gens)
+            ),
+            cfg,
+        )
+    idx, cfg = _RECRAWL_PURGED_CACHE[sf_dir]
+    return bm25_wand(spark, idx, cfg, TOP_K)

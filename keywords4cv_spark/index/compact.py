@@ -58,8 +58,17 @@ def compact_generations(
     indexes: list[IndexTables],
     out_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    superseded: "DataFrame | None" = None,
 ) -> IndexTables:
-    """Merge ``indexes`` (disjoint doc spaces) into one index at out_dir."""
+    """Merge ``indexes`` (disjoint doc spaces) into one index at out_dir.
+
+    ``superseded``: optional (doc_id) tombstone set (index/upsert.py) —
+    when given, the merge PURGES those docs: postings are decoded to
+    rows, anti-joined against the tombstones, the dictionary and stats
+    are recomputed over the survivors, and blocks re-encode with exact
+    bounds. The purged index is byte-equivalent to a fresh build over
+    the live corpus; query-time exclusion is no longer needed on it.
+    """
     from keywords4cv_spark.deploy import ensure_py_files
 
     ensure_py_files(spark)
@@ -81,6 +90,10 @@ def compact_generations(
             "with store_positions=True first"
         )
     os.makedirs(out_dir, exist_ok=True)
+    if superseded is not None:
+        return _compact_purging(
+            spark, indexes, out_dir, cfg, superseded, store_positions
+        )
 
     # --- combined stats (exact integer arithmetic) ---
     n_docs, sum_dl = 0, 0
@@ -195,11 +208,152 @@ def compact_generations(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{out_dir}/postings")
 
-    # --- lineage: one batched read-back job over the compacted tree ---
-    # postings above were FULLY overwritten, but lineage rows are written
-    # per bucket=N subdir — recompacting into an out_dir whose previous
-    # contents had MORE buckets would leave stale bucket=N dirs behind and
-    # load_index would report phantom buckets. Clear the whole table first.
+    _write_lineage(spark, out_dir)
+    newdict.unpersist()
+    staged = getattr(ids, "_k4cv_staged", None)
+    if staged is not None:
+        staged.unpersist()
+    return load_index(spark, out_dir)
+
+
+def _compact_purging(
+    spark: SparkSession,
+    indexes: list[IndexTables],
+    out_dir: str,
+    cfg: EngineConfig,
+    superseded,
+    store_positions: bool,
+) -> IndexTables:
+    """Purging merge: decode postings to rows, drop tombstoned docs,
+    recompute dictionary/stats over the survivors, re-encode exactly.
+
+    Unlike the block-level fast path (which moves payload bytes once and
+    never expands them), purging MUST look inside every block — a block
+    may interleave live and dead docs — so the merge runs through the
+    decoded row representation and the standard build encoder. The
+    result is identical to a fresh ``build_index`` over the live corpus
+    (same doc_ids/tf/dl, same term ranks over the surviving vocabulary,
+    same statistics → byte-identical payloads; tested), which is the
+    Lucene segment-merge contract: after the merge, deleted docs are
+    gone physically and statistics are clean.
+
+    Scale: one decode pass (mapInPandas, no driver traffic), one
+    doc-keyed anti-join, one term agg, one (term, band) encode shuffle.
+    The tombstone side of the anti-join is recrawl-volume-sized.
+    """
+    from keywords4cv_spark.index.build import DOC_BAND_LAYOUT, _make_encoder
+
+    tomb = superseded.select(F.col("doc_id").cast("long")).distinct()
+
+    allblocks = None
+    for idx in indexes:
+        blk = idx.postings.join(
+            idx.dictionary.select("term_id", "term"), "term_id"
+        ).select("term", "segment", "first_doc", "n", "payload")
+        allblocks = blk if allblocks is None else allblocks.unionByName(blk)
+
+    row_schema = "term string, segment int, doc_id long, tf long, dl long" + (
+        ", positions array<long>" if store_positions else ""
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                if store_positions:
+                    d, t, ln, pos = decode_block_positions(
+                        row["payload"], int(row["n"]), int(row["first_doc"])
+                    )
+                else:
+                    d, t, ln = decode_block(
+                        row["payload"], int(row["n"]), int(row["first_doc"])
+                    )
+                o = pd.DataFrame(
+                    {
+                        "term": row["term"],
+                        "segment": int(row["segment"]),
+                        "doc_id": d.astype(np.int64),
+                        "tf": t.astype(np.int64),
+                        "dl": ln.astype(np.int64),
+                    }
+                )
+                if store_positions:
+                    o["positions"] = [np.asarray(p, dtype=np.int64) for p in pos]
+                outs.append(o)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    live = (
+        allblocks.mapInPandas(explode, row_schema)
+        .join(tomb, "doc_id", "left_anti")
+        .persist()
+    )
+
+    # dictionary over survivors: one posting row per (term, doc) →
+    # df = count, cf = Σtf; fresh parallel term ranks over the surviving
+    # vocabulary (terms living only in purged docs vanish, as a rebuild's
+    # would)
+    agg = live.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    ids = assign_term_ids(agg)
+    newdict = ids.select("term", "term_id", "df", "cf").persist()
+    newdict.write.mode("overwrite").parquet(f"{out_dir}/dictionary")
+
+    allmeta = None
+    for idx in indexes:
+        m = idx.docmeta
+        allmeta = m if allmeta is None else allmeta.unionByName(
+            m, allowMissingColumns=True
+        )
+    allmeta.join(tomb, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        f"{out_dir}/docmeta"
+    )
+    spark.read.parquet(f"{out_dir}/docmeta").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).withColumn("k1", F.lit(cfg.k1)).withColumn("b", F.lit(cfg.b)).withColumn(
+        "n_term_buckets", F.lit(cfg.n_term_buckets)
+    ).withColumn("store_positions", F.lit(store_positions)).withColumn(
+        "input_hash", F.lit(0).cast("long")
+    ).withColumn("layout", F.lit(DOC_BAND_LAYOUT)).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/stats")
+    srow = spark.read.parquet(f"{out_dir}/stats").collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+
+    encoder = _make_encoder(cfg, n_docs, avgdl)
+    posted = live.join(newdict.select("term", "term_id", "df"), "term")
+    merged = (
+        posted.repartition(cfg.shuffle_partitions, "term_id", "segment")
+        .groupBy("term_id", "segment")
+        .applyInPandas(encoder, POSTINGS_SCHEMA)
+        .withColumn(
+            "bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets)).cast("int")
+        )
+    )
+    merged.sortWithinPartitions("term_id", "segment", "block_id").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{out_dir}/postings")
+
+    _write_lineage(spark, out_dir)
+    live.unpersist()
+    newdict.unpersist()
+    staged = getattr(ids, "_k4cv_staged", None)
+    if staged is not None:
+        staged.unpersist()
+    return load_index(spark, out_dir)
+
+
+def _write_lineage(spark: SparkSession, out_dir: str) -> None:
+    """Lineage from one batched read-back job over the compacted tree.
+
+    Postings were FULLY overwritten, but lineage rows are written per
+    bucket=N subdir — recompacting into an out_dir whose previous
+    contents had MORE buckets would leave stale bucket=N dirs behind and
+    load_index would report phantom buckets. Clear the whole table first.
+    """
     shutil.rmtree(os.path.join(out_dir, "_lineage"), ignore_errors=True)
     bstats = (
         spark.read.option("basePath", f"{out_dir}/postings")
@@ -231,8 +385,3 @@ def compact_generations(
         spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/_lineage/bucket={int(r['bucket'])}")
-    newdict.unpersist()
-    staged = getattr(ids, "_k4cv_staged", None)
-    if staged is not None:
-        staged.unpersist()
-    return load_index(spark, out_dir)

@@ -136,11 +136,18 @@ class _Cursor:
         self.next_geq(self.cur_doc + 1)
 
 
-def _bmw_one_query(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def _bmw_one_query(
+    cursors: list[_Cursor], k: int, excluded: frozenset[int] = frozenset()
+) -> list[tuple[int, float]]:
     """Block-Max WAND → [(doc_id, exact_score)] of the top-k candidates.
 
     Heap key is (round(score, 6), -doc_id) — the exact final ordering —
     so the returned set IS the deterministic top-k.
+
+    ``excluded`` are tombstoned docs (superseded recrawls — see
+    index/upsert.py): they are never scored or pushed to the heap, and
+    skipping them keeps every bound valid (exclusion only removes
+    candidates; it can't raise any doc's score past an upper bound).
     """
     heap: list[tuple[float, int]] = []
 
@@ -168,7 +175,10 @@ def _bmw_one_query(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
             if c.cur_doc < pivot_doc:
                 c.next_geq(pivot_doc)
         holders = [c for c in live if c.cur_doc == pivot_doc]
-        if holders:
+        if holders and pivot_doc in excluded:
+            for c in holders:
+                c.advance()
+        elif holders:
             # block-max refinement: exact current-block bounds at the pivot
             block_acc = sum(c.block_ub() for c in holders)
             if block_acc > theta:
@@ -281,6 +291,7 @@ def bm25_wand_multi(
     cfg: EngineConfig = DEFAULT_CONFIG,
     k: int = TOP_K,
     queries: list[tuple[int, str]] | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Rank-exact BM25 top-k across multiple index generations.
 
@@ -292,6 +303,16 @@ def bm25_wand_multi(
     old generation is stale under the combined statistics. Results are
     rank-identical to a full rebuild over the union (tested).
     Compaction = build_index over the union when generations pile up.
+
+    ``exclude``: optional (doc_id) DataFrame of tombstoned docs —
+    superseded recrawl versions from ``index/upsert.py:superseded_docs``.
+    Excluded docs are dropped from every result while statistics keep
+    counting them (Lucene deleted-docs semantics; a purging compaction
+    restores clean statistics). The tombstones travel as marker rows
+    unioned into the block scan — partitioned to the same (query,
+    doc-band) scoring tasks as the postings, never collected to the
+    driver. All generations must share ``cfg.n_salts`` (the band rule
+    ``doc_id % n_salts`` is how a tombstone finds its scoring task).
     """
     from keywords4cv_spark.deploy import ensure_py_files
 
@@ -345,6 +366,30 @@ def bm25_wand_multi(
     for s in gen_scans[1:]:
         allblocks = allblocks.unionByName(s)
 
+    if exclude is not None:
+        # tombstones ride the same shuffle as the posting blocks: one
+        # marker row (payload NULL, gen -1) per (query, tombstoned doc),
+        # banded by the build-time rule doc_id % n_salts so each lands in
+        # exactly the (query, segment) group whose postings could emit it
+        qids = sorted({q for q, _ in pairs})
+        qid_df = spark.createDataFrame([(q,) for q in qids], "query_id long")
+        tomb = (
+            exclude.select(F.col("doc_id").cast("long"))
+            .crossJoin(F.broadcast(qid_df))
+            .select(
+                "query_id",
+                F.lit("\x00tomb").alias("term"),
+                F.lit(-1).alias("gen"),
+                F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int").alias("segment"),
+                F.col("doc_id").alias("first_doc"),
+                F.col("doc_id").alias("last_doc"),
+                F.lit(0).cast("int").alias("n"),
+                F.lit(0).cast("int").alias("max_tf"),
+                F.lit(None).cast("binary").alias("payload"),
+            )
+        )
+        allblocks = allblocks.unionByName(tomb)
+
     df_b = spark.sparkContext.broadcast(df_total)
 
     def bmw(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -352,6 +397,9 @@ def bm25_wand_multi(
         # generations have disjoint doc spaces, and a doc's band is
         # constant within its generation, so the band partials are exact
         qid = int(pdf["query_id"].iloc[0])
+        tomb_mask = pdf["payload"].isna()
+        excluded = frozenset(int(d) for d in pdf.loc[tomb_mask, "first_doc"])
+        pdf = pdf[~tomb_mask]
         cursors = []
         for (term, _), g in pdf.groupby(["term", "gen"], sort=True):
             df_val = df_b.value[term]
@@ -367,7 +415,7 @@ def bm25_wand_multi(
                     g["n"].to_numpy(np.int64),
                 )
             )
-        hits = _bmw_one_query(cursors, k)
+        hits = _bmw_one_query(cursors, k, excluded)
         return pd.DataFrame(
             {
                 "query_id": pd.Series([qid] * len(hits), dtype="int64"),

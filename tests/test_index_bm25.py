@@ -30,8 +30,11 @@ def index(spark, docs, tmp_path_factory):
     return build_index(spark, docs, d, CFG, url_col="source")
 
 
-def python_bm25_oracle(rows, k1=1.2, b=0.75):
-    """Brute-force BM25 in pure Python over (doc_id, text) rows."""
+def python_bm25_oracle(rows, k1=1.2, b=0.75, exclude=frozenset()):
+    """Brute-force BM25 in pure Python over (doc_id, text) rows.
+
+    ``exclude``: tombstoned doc_ids — never ranked, but still counted
+    in n/avgdl/df (Lucene deleted-docs semantics, index/upsert.py)."""
     toks = {d: tokenize(t) for d, t in rows}
     dls = {d: len(ts) for d, ts in toks.items()}
     n = len(toks)
@@ -57,7 +60,8 @@ def python_bm25_oracle(rows, k1=1.2, b=0.75):
                 s = idf * (f_ * (k1 + 1)) / (f_ + k1 * (1 - b + b * dls[d] / avgdl))
                 scores[d] = scores.get(d, 0.0) + s
         ranked = sorted(
-            ((round(s, 6), -d) for d, s in scores.items()), reverse=True
+            ((round(s, 6), -d) for d, s in scores.items() if d not in exclude),
+            reverse=True,
         )[:10]
         out[qid] = [(i + 1, -nd, s) for i, (s, nd) in enumerate(ranked)]
     return out
@@ -389,3 +393,131 @@ def test_generation_manifest_snapshots(spark, docs, tmp_path):
     assert set(brute) == set(multi)
     for key in brute:
         assert brute[key][0] == multi[key][0], key
+
+
+def _recrawl_split(docs, mod=5, off=1_000_000,
+                   suffix=" refreshed crawl snapshot content"):
+    """(base_with_url, recrawled): every ``mod``-th doc re-crawled with a
+    new doc_id, the SAME synthesized per-doc url, and refreshed text."""
+    base = docs.withColumn(
+        "url", F.concat_ws("/", F.col("source"), F.col("doc_id"))
+    )
+    recrawled = (
+        base.filter(F.col("doc_id") % mod == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        .withColumn("text", F.concat(F.col("text"), F.lit(suffix)))
+    )
+    return base, recrawled
+
+
+def test_recrawl_upsert_and_purging_compaction(spark, docs, tmp_path):
+    """Recrawl upsert end-to-end (index/upsert.py):
+    (a) superseded_docs tombstones exactly the stale originals of
+        re-crawled urls;
+    (b) bm25_wand_multi(exclude=) drops them from every result while
+        scoring with UNION statistics (Lucene deleted-docs semantics —
+        checked against the python oracle over the union corpus);
+    (c) the purging compaction equals a fresh build over the live corpus
+        byte-for-byte and answers rank-identically with NO exclusion."""
+    from keywords4cv_spark.index.compact import compact_generations
+    from keywords4cv_spark.index.upsert import superseded_docs
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    MOD = 5
+    base, recrawled = _recrawl_split(docs, mod=MOD)
+    g0 = build_index(spark, base, str(tmp_path / "u0"), CFG, url_col="url")
+    g1 = build_index(spark, recrawled, str(tmp_path / "u1"), CFG, url_col="url")
+    gens = [g0, g1]
+
+    # (a) tombstones = the en originals of re-crawled urls, nothing else
+    tombs = {r.doc_id for r in superseded_docs(gens).collect()}
+    expected = {
+        r.doc_id
+        for r in base.filter(
+            (F.col("doc_id") % MOD == 0) & (F.col("lang") == "en")
+        ).select("doc_id").collect()
+    }
+    assert tombs == expected and len(tombs) > 0
+
+    # (b) query-time exclusion with stale union statistics
+    union_rows = [
+        (r.doc_id, r.text)
+        for df_ in (base, recrawled)
+        for r in df_.filter(F.col("lang") == "en").select("doc_id", "text").collect()
+    ]
+    oracle = python_bm25_oracle(union_rows, exclude=tombs)
+    want = {
+        (qid, rank): (doc, pytest.approx(score, abs=1e-6))
+        for qid, hits in oracle.items()
+        for rank, doc, score in hits
+    }
+    got = _collect(
+        bm25_wand_multi(spark, gens, CFG, exclude=superseded_docs(gens))
+    )
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == want[key][1], key
+    # the scenario is non-vacuous: without exclusion a stale doc ranks
+    plain = _collect(bm25_wand_multi(spark, gens, CFG))
+    assert any(doc in tombs for doc, _ in plain.values())
+
+    # (c) purging compaction == fresh build over the live corpus
+    live = base.filter(F.col("doc_id") % MOD != 0).unionByName(recrawled)
+    purged = compact_generations(
+        spark, gens, str(tmp_path / "up"), CFG, superseded=superseded_docs(gens)
+    )
+    fresh = build_index(spark, live, str(tmp_path / "uf"), CFG, url_col="url")
+    cols = [
+        "term_id", "segment", "block_id", "first_doc", "last_doc",
+        "n", "max_tf", "max_score", "payload",
+    ]
+    a, b = purged.postings.select(cols), fresh.postings.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert purged.stats_row()["n_docs"] == fresh.stats_row()["n_docs"]
+    assert purged.stats_row()["sum_dl"] == fresh.stats_row()["sum_dl"]
+    brute = _collect(bm25_brute_force(spark, live, CFG))
+    wand = _collect(bm25_wand(spark, purged, CFG))
+    assert set(brute) == set(wand)
+    for key in brute:
+        assert brute[key][0] == wand[key][0], (key, brute[key], wand[key])
+        assert abs(brute[key][1] - wand[key][1]) < 1e-9, key
+
+
+def test_purging_compaction_positional(spark, docs, tmp_path):
+    """Purging merge carries position payloads: the purged index equals
+    a fresh positional build over the live corpus and answers phrase
+    queries identically (no stale doc ever matches a phrase)."""
+    from keywords4cv_spark.index.compact import compact_generations
+    from keywords4cv_spark.index.upsert import superseded_docs
+    from keywords4cv_spark.query.phrase import phrase_search
+
+    pcfg = EngineConfig(
+        n_term_buckets=2, n_salts=2, shuffle_partitions=8, store_positions=True
+    )
+    base, recrawled = _recrawl_split(docs)
+    g0 = build_index(spark, base, str(tmp_path / "pp0"), pcfg, url_col="url")
+    g1 = build_index(spark, recrawled, str(tmp_path / "pp1"), pcfg, url_col="url")
+    purged = compact_generations(
+        spark, [g0, g1], str(tmp_path / "ppc"), pcfg,
+        superseded=superseded_docs([g0, g1]),
+    )
+    assert bool(purged.stats_row()["store_positions"])
+    live = base.filter(F.col("doc_id") % 5 != 0).unionByName(recrawled)
+    fresh = build_index(spark, live, str(tmp_path / "ppf"), pcfg, url_col="url")
+    cols = [
+        "term_id", "segment", "block_id", "first_doc", "last_doc",
+        "n", "max_tf", "max_score", "payload",
+    ]
+    a, b = purged.postings.select(cols), fresh.postings.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    phrases = ["merge join", "the data", "table scan"]
+    want = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in phrase_search(spark, fresh, phrases).collect()
+    }
+    got = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in phrase_search(spark, purged, phrases).collect()
+    }
+    assert got == want and len(got) > 0
