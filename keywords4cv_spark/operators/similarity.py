@@ -180,15 +180,39 @@ def lsh_buckets(
     ``plane_offset`` shifts the global plane index — table t of a
     multi-table OR-construction uses planes [t·p, (t+1)·p), giving each
     table an independent bucketing. Bucket is LONG: corpus-scaled plane
-    counts exceed 31 bits at web scale (35 planes at 10^12 vectors)."""
-    bucket = None
-    for j in range(n_planes):
-        bit = F.when(
-            _projection_col(F.col("embedding"), plane_offset + j) > 0,
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select("vec_id", bucket.cast("long").alias("bucket"))
+    counts exceed 31 bits at web scale (35 planes at 10^12 vectors).
+
+    Kernel: one Arrow-batched UDF for ALL planes. The sign matrix is
+    rebuilt from ``plane_sign`` inside the batch (cheap, deterministic);
+    the accumulation loops over DIMENSIONS while staying vectorized over
+    rows, so each row's projection is the exact left-to-right float64
+    sum the previous per-plane HOF form computed (and DuckDB's list_sum
+    oracle computes) — bit-identical sign bits with ~dim×planes numpy
+    ops per batch instead of interpreted per-element lambdas, and no
+    512-literal sign arrays inflating the plan (the corpus-scaled plane
+    rule made the HOF cost grow with log(corpus); the kernel makes it
+    a vector op)."""
+
+    @F.pandas_udf(T.LongType())
+    def bucket_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array([np.asarray(x, dtype=np.float64) for x in col])
+        dim = m.shape[1]
+        out = np.zeros(len(m), dtype=np.int64)
+        for j in range(n_planes):
+            srow = [float(plane_sign(plane_offset + j, i)) for i in range(dim)]
+            acc = np.zeros(len(m))
+            for i in range(dim):
+                # dimension-sequential: ((0 + x0·s0) + x1·s1) + … — the
+                # same IEEE summation order as the HOF/oracle twin
+                acc = acc + m[:, i] * srow[i]
+            out |= (acc > 0).astype(np.int64) << j
+        return pd.Series(out)
+
+    return emb.select(
+        "vec_id", bucket_of(F.col("embedding")).cast("long").alias("bucket")
+    )
 
 
 KMEANS_ITER = 3
@@ -258,6 +282,7 @@ def ivf_topk(
     nprobe: int = 2,
     nlist: int | None = None,
     n_iter: int = KMEANS_ITER,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: coarse quantizer = trained k-means centroids; each
     probe searches only the ``nprobe`` nearest inverted lists.
@@ -269,16 +294,19 @@ def ivf_topk(
     selected lists' vectors — at 100 TB the assignment table is the
     partitioning key, so a probe reads O(corpus/nlist · nprobe).
     nlist defaults to ~√n (the standard IVF sizing); training is
-    deterministic (train_kmeans).
+    deterministic (train_kmeans). Pass ``cents`` to reuse a trained
+    quantizer — the production IVF lifecycle (train once, serve many
+    queries; the centroid table IS the index metadata).
     Deterministic: cosine rounded to 6, ties break on vec_id/label.
     """
     from keywords4cv_spark.operators.categorize import assign_to_centroids
 
-    if nlist is None:
-        import math
+    if cents is None:
+        if nlist is None:
+            import math
 
-        nlist = max(2, int(math.isqrt(emb.count())))
-    cents = train_kmeans(emb, nlist, n_iter).persist()
+            nlist = max(2, int(math.isqrt(emb.count())))
+        cents = train_kmeans(emb, nlist, n_iter).persist()
     assign = assign_to_centroids(emb, cents)  # (vec_id, assigned_label, cosine)
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
