@@ -55,6 +55,8 @@ _GATE_PRIORITY = [
     "curated_corpus",
     "bm25_recrawl_topk",
     "bm25_recrawl_purged_topk",
+    "snippet_windows",
+    "repetition_scores",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

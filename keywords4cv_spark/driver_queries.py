@@ -1104,6 +1104,45 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_scores",
+    f"""
+WITH d AS ({_EN_TOKS}),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM d WHERE len(toks) >= 2
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+bshare AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_share
+  FROM bcnt GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM d WHERE len(toks) >= 3
+),
+tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tfrac AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6)
+           AS dup_trigram_frac
+  FROM tcnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(b.top_bigram_share, 0.0) AS top_bigram_share,
+       coalesce(t.dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM d LEFT JOIN bshare b USING (doc_id) LEFT JOIN tfrac t USING (doc_id)""",
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition curation signals (top-bigram share,
+    duplicate-trigram fraction) — pure hash aggregations, no UDF."""
+    return textstats.repetition_scores(_docs(spark, sf_dir), CFG)
+
+
+@register(
     "doc_fingerprints",
     f"""
 WITH d AS ({_EN_TOKS})
@@ -2116,6 +2155,75 @@ def q_phrase_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional compressed index instead of re-scanning text."""
     index = _pos_index_for(spark, sf_dir)
     return phrase_search(spark, index, _PHRASES)
+
+
+_SNIPPET_WIDTH = 8
+
+
+@register(
+    "snippet_windows",
+    f"""
+WITH {_tf_ctes(_EN_TOKS)},
+{_values_queries()},
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({CFG.k1} + 1.0))
+              / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+hits AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+pos AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         unnest(list_transform(range(1, len(toks) + 1),
+                               i -> CAST(i - 1 AS BIGINT))) AS p
+  FROM d
+),
+qpos AS (
+  SELECT q.query_id, p.doc_id, p.term, p.p
+  FROM q JOIN pos p USING (term)
+),
+wins AS (
+  SELECT h.query_id, h.doc_id, s.p AS win_start,
+         (SELECT count(DISTINCT p2.term) FROM qpos p2
+          WHERE p2.query_id = h.query_id AND p2.doc_id = h.doc_id
+            AND p2.p >= s.p AND p2.p < s.p + {_SNIPPET_WIDTH}) AS n_terms
+  FROM hits h
+  JOIN qpos s ON s.query_id = h.query_id AND s.doc_id = h.doc_id
+),
+best AS (
+  SELECT query_id, doc_id, win_start, CAST(n_terms AS INTEGER) AS n_terms,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY n_terms DESC, win_start) AS rn
+  FROM wins
+)
+SELECT query_id, doc_id, win_start, n_terms FROM best WHERE rn = 1""",
+)
+def q_snippet_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighter / passage retrieval: for each BM25 top-k hit, the
+    best ``width``-token snippet window (most distinct query terms,
+    earliest tie) computed entirely from positional postings — the
+    document text is never re-read."""
+    from keywords4cv_spark.query.snippets import snippet_windows
+
+    return snippet_windows(
+        spark, _pos_index_for(spark, sf_dir), CFG,
+        k=TOP_K, width=_SNIPPET_WIDTH,
+    )
 
 
 _POS_COMPACT_CACHE: dict[str, object] = {}

@@ -123,3 +123,65 @@ def doc_fingerprints(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Dat
             F.concat_ws(" ", F.array_sort(F.array_distinct("tokens")))
         ).alias("fingerprint"),
     )
+
+
+def repetition_scores(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, top_bigram_share, dup_trigram_frac): Gopher-style
+    repetition signals for training-data curation (Rae et al. 2021,
+    "repetitious text" rules, token-n-gram form):
+
+    - top_bigram_share — occurrences of the doc's most frequent token
+      bigram / total bigram occurrences (machine-generated and
+      boilerplate text spikes this);
+    - dup_trigram_frac — fraction of trigram occurrences whose trigram
+      appears more than once in the doc.
+
+    Both 0.0 for docs too short to form the n-gram. Shape: one
+    (doc, gram) aggregation per n — the count table is corpus-sized,
+    hash-partitioned, no window/no UDF; at 100 TB this is two
+    shuffles whose volume is linear in token count.
+    """
+    toks = tokenized_docs(docs, cfg).select("doc_id", "tokens")
+
+    def gram_col(n: int):
+        return F.expr(
+            f"transform(sequence(0, size(tokens) - {n}), i -> "
+            + "concat_ws(' ', "
+            + ", ".join(f"tokens[i + {j}]" for j in range(n))
+            + "))"
+        )
+
+    big = (
+        toks.filter(F.size("tokens") >= 2)
+        .select("doc_id", F.explode(gram_col(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_share")
+        )
+    )
+    tri = (
+        toks.filter(F.size("tokens") >= 3)
+        .select("doc_id", F.explode(gram_col(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c"),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(big, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )

@@ -521,3 +521,40 @@ def test_purging_compaction_positional(spark, docs, tmp_path):
         for r in phrase_search(spark, purged, phrases).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_snippet_windows_match_text_scan(spark, docs, tmp_path):
+    """Snippet windows computed from positional postings must equal a
+    brute-force text-scan twin: same best (start, distinct-term count)
+    per (query, top-k hit) under the (most terms, earliest start) rule."""
+    from keywords4cv_spark.query.snippets import snippet_windows
+
+    pcfg = EngineConfig(
+        n_term_buckets=2, n_salts=2, shuffle_partitions=8, store_positions=True
+    )
+    idx = build_index(spark, docs, str(tmp_path / "sn"), pcfg, url_col="source")
+    width = 8
+    got = {
+        (r.query_id, r.doc_id): (r.win_start, r.n_terms)
+        for r in snippet_windows(spark, idx, pcfg, width=width).collect()
+    }
+    # text-scan twin over the same top-k hits
+    texts = {
+        r.doc_id: tokenize(r.text)
+        for r in docs.filter(F.col("lang") == "en").collect()
+    }
+    hits = _collect(bm25_wand(spark, idx, pcfg))
+    assert set(got) == {(q, d) for (q, _), (d, _) in hits.items()}
+    qterms = {qid: set(query_terms(q)) for qid, q in QUERY_SET}
+    for (qid, doc), (start, n) in got.items():
+        toks = texts[doc]
+        pos = [
+            (p, t) for p, t in enumerate(toks) if t in qterms[qid]
+        ]
+        best = (-1, -1)
+        for s, _ in pos:
+            cnt = len({t for p, t in pos if s <= p < s + width})
+            if cnt > best[1]:
+                best = (s, cnt)
+        assert (start, n) == best, (qid, doc, (start, n), best)
+        assert 1 <= n <= len(qterms[qid])
