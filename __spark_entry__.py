@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "bm25_recrawl_purged_topk",
     "snippet_windows",
     "repetition_scores",
+    "proximity_query",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

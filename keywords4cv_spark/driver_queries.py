@@ -2157,6 +2157,57 @@ def q_phrase_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, index, _PHRASES)
 
 
+_PROX_PHRASES = ["merge join", "table scan", "data column query"]
+_PROX_SLOP = 2
+
+
+def _proximity_oracle(phrases: list[str], slop: int) -> str:
+    """Per-phrase chained DISTINCT-join SQL mirroring the reachability
+    DP of query/phrase.py:proximity_search (n_occurrences = distinct
+    chain END positions)."""
+    from keywords4cv_spark.textprep.normalize import tokenize as _tok
+
+    gap = 1 + slop
+    parts = []
+    for ph in phrases:
+        terms = _tok(ph)
+        cur = (
+            f"SELECT DISTINCT doc_id, p FROM pos WHERE term = '{terms[0]}'"
+        )
+        for t in terms[1:]:
+            cur = f"""SELECT DISTINCT b.doc_id, b.p
+FROM ({cur}) r JOIN pos b
+  ON b.doc_id = r.doc_id AND b.term = '{t}'
+ AND b.p > r.p AND b.p <= r.p + {gap}"""
+        parts.append(
+            f"SELECT '{ph}' AS phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences\n"
+            f"FROM ({cur}) GROUP BY doc_id"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH d AS ({_EN_TOKS}),
+pos AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         unnest(list_transform(range(1, len(toks) + 1),
+                               i -> CAST(i - 1 AS BIGINT))) AS p
+  FROM d
+)
+{body}"""
+
+
+@register("proximity_query", _proximity_oracle(_PROX_PHRASES, _PROX_SLOP))
+def q_proximity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy-phrase (ordered proximity) retrieval from the positional
+    index — Lucene PhraseQuery-with-slop analog; reachability DP over
+    position lists, exact for any term count."""
+    from keywords4cv_spark.query.phrase import proximity_search
+
+    return proximity_search(
+        spark, _pos_index_for(spark, sf_dir), _PROX_PHRASES, slop=_PROX_SLOP
+    )
+
+
 _SNIPPET_WIDTH = 8
 
 

@@ -113,3 +113,106 @@ def phrase_search(
     return blocks.groupBy("phrase", "segment").applyInPandas(
         match, "phrase string, doc_id long, n_occurrences long"
     )
+
+
+def proximity_search(
+    spark: SparkSession,
+    index: IndexTables,
+    phrases: list[str],
+    slop: int = 0,
+) -> DataFrame:
+    """(phrase, doc_id, n_occurrences): ordered proximity match — the
+    Lucene sloppy-PhraseQuery analog. Terms must appear IN ORDER with
+    each consecutive gap ≤ 1 + ``slop`` (slop=0 ⇒ exact adjacency).
+
+    Semantics: ``n_occurrences`` counts the distinct END positions
+    reachable by a valid chain (reachability DP over the position
+    lists: R₀ = positions of t₀; Rᵢ = {q ∈ posᵢ : ∃ r ∈ Rᵢ₋₁,
+    r < q ≤ r + 1 + slop}) — well-defined for any term count, unlike
+    greedy earliest-extension which misses chains at n ≥ 3. For
+    slop=0 this equals phrase_search's adjacency count.
+
+    Same Spark shape as phrase_search: pruned positional blocks →
+    (phrase, doc-band) groups → numpy DP per doc.
+    """
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    rows = []
+    n_terms: dict[str, int] = {}
+    for phrase in phrases:
+        terms = tokenize(phrase)
+        n_terms[phrase] = len(terms)
+        rows.extend((phrase, i, t) for i, t in enumerate(terms))
+    qdf = spark.createDataFrame(rows, "phrase string, ord int, term string")
+    qterms = qdf.join(index.dictionary, "term").select("phrase", "ord", "term_id")
+    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    if not term_ids:
+        return spark.createDataFrame(
+            [], "phrase string, doc_id long, n_occurrences long"
+        )
+    srow = index.stats_row()
+    scan = index.postings
+    if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
+        nb = int(srow["n_term_buckets"])
+        scan = scan.filter(
+            F.col("bucket").isin(sorted({tid % nb for tid in term_ids}))
+        )
+    blocks = scan.filter(F.col("term_id").isin(term_ids)).join(
+        F.broadcast(qterms), "term_id"
+    )
+    n_terms_b = spark.sparkContext.broadcast(n_terms)
+    max_gap = 1 + slop
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        phrase = pdf["phrase"].iloc[0]
+        want = n_terms_b.value[phrase]
+        per_ord: dict[int, dict[int, np.ndarray]] = {}
+        for _, row in pdf.iterrows():
+            docs, _tfs, _dls, pos = decode_block_positions(
+                row["payload"], int(row["n"]), int(row["first_doc"])
+            )
+            bucket = per_ord.setdefault(int(row["ord"]), {})
+            for d, p in zip(docs, pos):
+                bucket[int(d)] = p
+        empty = pd.DataFrame(
+            {
+                "phrase": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            }
+        )
+        if sorted(per_ord) != list(range(want)):
+            return empty
+        reach = per_ord[0]
+        for i in range(1, want):
+            nxt: dict[int, np.ndarray] = {}
+            cur = per_ord[i]
+            for d, r in reach.items():
+                q = cur.get(d)
+                if q is None:
+                    continue
+                # q reachable iff some r satisfies r < q <= r + max_gap:
+                # with r sorted, the LARGEST r below q decides
+                idx = np.searchsorted(r, q, side="left") - 1
+                ok = (idx >= 0) & (q <= r[np.maximum(idx, 0)] + max_gap)
+                m = q[ok]
+                if m.size:
+                    nxt[d] = m
+            reach = nxt
+            if not reach:
+                return empty
+        docs_sorted = sorted(reach)
+        return pd.DataFrame(
+            {
+                "phrase": phrase,
+                "doc_id": pd.Series(docs_sorted, dtype="int64"),
+                "n_occurrences": pd.Series(
+                    [int(reach[d].size) for d in docs_sorted], dtype="int64"
+                ),
+            }
+        )
+
+    return blocks.groupBy("phrase", "segment").applyInPandas(
+        match, "phrase string, doc_id long, n_occurrences long"
+    )

@@ -558,3 +558,50 @@ def test_snippet_windows_match_text_scan(spark, docs, tmp_path):
                 best = (s, cnt)
         assert (start, n) == best, (qid, doc, (start, n), best)
         assert 1 <= n <= len(qterms[qid])
+
+
+def test_proximity_search_semantics(spark, docs, tmp_path):
+    """proximity_search: slop=0 must equal phrase_search's adjacency
+    counts; slop>0 must match a brute-force reachability twin over the
+    tokenized text (distinct chain END positions), including a 3-term
+    phrase where greedy chaining would be wrong."""
+    from keywords4cv_spark.query.phrase import phrase_search, proximity_search
+
+    pcfg = EngineConfig(
+        n_term_buckets=2, n_salts=2, shuffle_partitions=8, store_positions=True
+    )
+    idx = build_index(spark, docs, str(tmp_path / "px"), pcfg, url_col="source")
+    phrases = ["merge join", "the data", "table scan", "data column query"]
+
+    def brute(slop):
+        gap = 1 + slop
+        out = {}
+        for r in docs.filter(F.col("lang") == "en").collect():
+            toks = tokenize(r.text)
+            for ph in phrases:
+                terms = tokenize(ph)
+                reach = {i for i, t in enumerate(toks) if t == terms[0]}
+                for t in terms[1:]:
+                    reach = {
+                        q for q, tok in enumerate(toks)
+                        if tok == t and any(p < q <= p + gap for p in reach)
+                    }
+                if reach:
+                    out[(ph, r.doc_id)] = len(reach)
+        return out
+
+    for slop in (0, 2):
+        got = {
+            (r.phrase, r.doc_id): r.n_occurrences
+            for r in proximity_search(spark, idx, phrases, slop=slop).collect()
+        }
+        assert got == brute(slop), f"slop={slop}"
+    exact = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in phrase_search(spark, idx, phrases).collect()
+    }
+    prox0 = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in proximity_search(spark, idx, phrases, slop=0).collect()
+    }
+    assert prox0 == exact
