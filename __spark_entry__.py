@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "snippet_windows",
     "repetition_scores",
     "proximity_query",
+    "bm25f_topk",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

@@ -1489,6 +1489,59 @@ firstsec AS (
 """
 
 
+def _bm25f_weight_sql() -> str:
+    from keywords4cv_spark.query.bm25 import (
+        BM25F_DEFAULT_WEIGHT,
+        BM25F_FIELD_WEIGHTS,
+    )
+
+    whens = " ".join(
+        f"WHEN section = '{n}' THEN {w}"
+        for n, w in sorted(BM25F_FIELD_WEIGHTS.items())
+    )
+    return f"CASE {whens} ELSE {BM25F_DEFAULT_WEIGHT} END"
+
+
+@register(
+    "bm25f_topk",
+    f"""
+WITH {_SEG_CTES},
+{_values_queries()},
+wtok AS (SELECT doc_id, term, {_bm25f_weight_sql()} AS w FROM toksec),
+wtf AS (SELECT doc_id, term, sum(w) AS wtf FROM wtok GROUP BY doc_id, term),
+wdl AS (SELECT doc_id, sum(w) AS wdl FROM wtok GROUP BY doc_id),
+fstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(wdl) AS avgwdl FROM wdl),
+fdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wtf GROUP BY term),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * (t.wtf * ({CFG.k1} + 1.0))
+              / (t.wtf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * d.wdl / s.avgwdl)) ) AS score
+  FROM q
+  JOIN fdf f USING (term)
+  JOIN wtf t USING (term)
+  JOIN wdl d ON d.doc_id = t.doc_id
+  CROSS JOIN fstats s
+  GROUP BY q.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}""",
+)
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25 (simple BM25F) over the heading-structured
+    synthetic corpus: hits under requirements:/education: headings
+    outweigh body hits via exact-binary field weights."""
+    from keywords4cv_spark.query.bm25 import bm25f_topk
+
+    return bm25f_topk(spark, _synth(spark), CFG, TOP_K)
+
+
 @register(
     "keyword_sections",
     f"""

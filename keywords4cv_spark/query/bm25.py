@@ -85,3 +85,73 @@ def bm25_brute_force(
         .agg(F.sum("contrib").alias("score"))
     )
     return rank_topk(scored, k)
+
+
+# BM25F field weights. Deliberately NOT the section-scoring weights
+# (operators/sections.py SECTION_WEIGHTS, 1.8/1.2): quarters are exact
+# binary fractions, so weighted tf/dl sums are order-independent in
+# float64 — the Spark partial aggregation and the DuckDB oracle add
+# them in different orders and must agree bit-for-bit.
+BM25F_FIELD_WEIGHTS = {"requirements": 1.75, "education": 1.25}
+BM25F_DEFAULT_WEIGHT = 1.0
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    queries: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """Field-weighted BM25 (simple BM25F, Robertson & Zaragoza 2009)
+    over heading-structured documents: term frequency and document
+    length are replaced by their field-weight-scaled sums
+    (tf̃ = Σ_f w_f·tf_f, dl̃ = Σ_f w_f·len_f) before the standard
+    saturation, so a hit under ``requirements:`` outweighs the same hit
+    in the body — the retrieval generalization of the reference's
+    per-section keyword weighting (keywords4cv.py:3214-3221).
+
+    Shape: one segment split (no shuffle), one (doc, term) and one
+    (doc) aggregation, broadcast query join, rank_topk — all JVM-side.
+    """
+    from keywords4cv_spark.operators.sentences import _heading_segments
+    from keywords4cv_spark.textprep.spark_exprs import tokens_col
+
+    pairs = queries if queries is not None else query_term_pairs()
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+
+    segs = _heading_segments(docs)
+    w_expr = F.lit(BM25F_DEFAULT_WEIGHT)
+    for name, w in sorted(BM25F_FIELD_WEIGHTS.items()):
+        w_expr = F.when(F.col("section") == name, F.lit(w)).otherwise(w_expr)
+    toks = segs.select(
+        "doc_id",
+        w_expr.alias("w"),
+        F.explode(
+            tokens_col(F.col("body"), cfg.min_token_len, cfg.stopwords)
+        ).alias("term"),
+    )
+    wtf = toks.groupBy("doc_id", "term").agg(F.sum("w").alias("wtf"))
+    wdl = toks.groupBy("doc_id").agg(F.sum("w").alias("wdl"))
+    stats = wdl.agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("wdl").alias("avgwdl")
+    )
+    df_t = wtf.groupBy("term").agg(F.count("*").alias("df"))
+
+    qterms = qdf.join(df_t, "term")
+    n = F.col("n_docs").cast("double")
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    tf_norm = (F.col("wtf") * F.lit(cfg.k1 + 1.0)) / (
+        F.col("wtf")
+        + F.lit(cfg.k1)
+        * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("wdl") / F.col("avgwdl"))
+    )
+    scored = (
+        wtf.join(F.broadcast(qterms), "term")
+        .join(wdl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_norm)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return rank_topk(scored, k)
