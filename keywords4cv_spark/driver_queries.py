@@ -1812,14 +1812,19 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     op: keep docs that (a) pass the quality gate and (b) are either
     unique or the REPRESENTATIVE of their near-duplicate component
     (candidate→verify LSH dedup + connected components + min-label
-    keep-one rule). One tokenize pass feeds both branches."""
+    keep-one rule). One tokenize pass feeds both branches: the
+    persisted (doc_id, tokens) relation is passed explicitly to the
+    quality scorer and the dedup DAG (plan-asserted in test_plans)."""
+    from keywords4cv_spark.index.build import tokenized_docs
+
     docs = _docs(spark, sf_dir)
+    toks = tokenized_docs(docs, CFG).select("doc_id", "tokens").persist()
     qual = (
-        textstats.quality_scores(docs, CFG)
+        textstats.quality_scores(docs, CFG, toks=toks)
         .filter(F.col("quality") >= _CURATION_QUALITY_MIN)
         .select("doc_id", "quality")
     )
-    edges = dedup.jaccard_verified_pairs(docs, CFG)
+    edges = dedup.jaccard_verified_pairs(docs, CFG, toks=toks)
     comp = dedup.dup_components(edges)
     non_reps = comp.filter(F.col("doc_id") != F.col("rep_doc_id")).select("doc_id")
     return qual.join(non_reps, "doc_id", "left_anti")

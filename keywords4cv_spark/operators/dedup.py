@@ -124,6 +124,7 @@ def jaccard_verified_pairs(
     docs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     threshold: float = JACCARD_THRESHOLD,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact distinct-token Jaccard ≥ threshold.
 
@@ -131,9 +132,13 @@ def jaccard_verified_pairs(
     and reused by (a) the shingle→band-minima branch (itself persisted
     before its self-join) and (b) the distinct-token sets of the verify
     join — previously this DAG re-tokenized the corpus three times
-    (VERDICT r1 #3).
+    (VERDICT r1 #3). Pass ``toks`` (a persisted (doc_id, tokens) frame)
+    to share the tokenize stage with OTHER pipeline branches too —
+    curation compositions use this instead of relying on cache-plan
+    matching, which only fires on exact subtree equality.
     """
-    toks = tokenized_docs(docs, cfg).select("doc_id", "tokens").persist()
+    if toks is None:
+        toks = tokenized_docs(docs, cfg).select("doc_id", "tokens").persist()
     bm = _band_minima_from_tokens(toks).persist()
     cand = _pairs_from_band_minima(bm).persist()
     # verify-side pruning: only docs that appear in a candidate pair ship

@@ -6,12 +6,12 @@
   left-to-right float64 summation order to the DuckDB oracle).
 - LSH bucketing (sign-random-projection): the scale path — each
   vector gets a compact bucket id from sign bits of projections onto
-  deterministic ±1 hyperplanes; candidate generation is then an
-  equi-join on bucket instead of the O(n²) cross product.
-  Hyperplane sign s(j, i) = +1 iff (31·i + 17·j) mod 2 = 0 — chosen
-  to be expressible identically in Spark, DuckDB and Python (this is
-  a plumbing-grade projection, not a statistically tuned one; swap
-  the sign function for a seeded Rademacher matrix in production).
+  deterministic ±1 hyperplanes (md5-derived Rademacher signs,
+  ``plane_sign`` — identical in the Arrow kernel, the DuckDB oracle's
+  literal lists, and the numpy twins); candidate generation is then an
+  equi-join on bucket instead of the O(n²) cross product, with the
+  plane count scaled to corpus size (``n_planes_for``) and recall
+  bought back by multi-table OR-construction.
 - cosine near-dup pairs: candidate pairs (same bucket) verified by
   exact cosine ≥ threshold — embedding-space dedup
   (reference analog: keyword_canonicalizer.py:233-326 DBSCAN dedup).
@@ -128,12 +128,6 @@ def cosine_topk(
     )
 
 
-# max embedding dimensionality the literal sign arrays cover; vectors
-# longer than this would need a regenerated constant (loud, not silent:
-# element_at past the literal returns null and the projection errors)
-MAX_DIM = 512
-
-
 def plane_sign(j: int, i: int) -> int:
     """Deterministic ±1 hyperplane component (engine-portable).
 
@@ -148,28 +142,6 @@ def plane_sign(j: int, i: int) -> int:
 
     h = hashlib.md5(f"plane:{j}:{i}".encode()).digest()
     return 1 if (h[0] & 1) else -1
-
-
-def _plane_sign_lits(j: int) -> list[float]:
-    return [float(plane_sign(j, i)) for i in range(MAX_DIM)]
-
-
-def _projection_col(emb: Column, j: int) -> Column:
-    """Signed projection of ``emb`` onto deterministic plane ``j``.
-
-    The sign matrix is baked in as a literal array (constant-folded by
-    Catalyst); summation is sequential left-to-right float64 — the same
-    order as DuckDB's list_sum over the oracle's literal list, so sign
-    bits match bit-for-bit. At cluster scale this HOF would be swapped
-    for a broadcast numpy sign matrix inside a pandas UDF; the HOF form
-    is kept where oracle-exact float ordering matters.
-    """
-    signs = F.array(*[F.lit(s) for s in _plane_sign_lits(j)])
-    signed = F.transform(
-        emb,
-        lambda x, i: x.cast("double") * F.element_at(signs, i + F.lit(1)),
-    )
-    return F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def lsh_buckets(

@@ -65,13 +65,21 @@ def lang_id(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
-def quality_scores(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+def quality_scores(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, mean_token_len, quality).
 
     quality = 0.4·min(n_tokens/100, 1) + 0.3·min(stop_ratio·5, 1)
             + 0.3·(mean_token_len between 3 and 10)
+
+    ``toks``: optional pre-tokenized (doc_id, tokens) frame so curation
+    compositions tokenize the corpus once across branches.
     """
-    toks = tokenized_docs(docs, cfg)
+    if toks is None:
+        toks = tokenized_docs(docs, cfg)
     n = F.size("tokens").cast("double")
     stops = F.size(
         F.filter(F.col("tokens"), lambda t: t.isin(*STOPWORD_SET))

@@ -130,3 +130,61 @@ def test_bm25_uses_broadcast_joins_and_codegen(spark, sf_dir):
         assert wholestage_codegen_spans(df) > 0
         # query terms are the broadcast side; nothing falls to sort-merge
         assert "SortMergeJoin" not in explain_str(df)
+
+
+def test_new_curation_ops_have_no_single_partition_stage(spark, sf_dir):
+    """Round-3 operators must not smuggle a global single-task stage:
+    repetition_scores (two hash aggs), bm25f_topk (rank window is
+    partitioned by query_id; its 1-row corpus-stats agg legitimately
+    gathers — but no Window may), and the quality branch."""
+    from keywords4cv_spark.operators.textstats import quality_scores, repetition_scores
+    from keywords4cv_spark.plans import explain_str, without_aqe
+    from keywords4cv_spark.query.bm25 import bm25f_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with without_aqe(spark):
+        assert "SinglePartition" not in explain_str(repetition_scores(docs, CFG))
+        assert "SinglePartition" not in explain_str(quality_scores(docs, CFG))
+        plan = explain_str(bm25f_topk(spark, docs, CFG))
+    # rank_topk's window must be keyed by query_id, not global: for each
+    # Window node, the Exchange printed beneath it (its input shuffle)
+    # must be hash-partitioned
+    lines = plan.splitlines()
+    window_lines = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert window_lines, plan
+    for i in window_lines:
+        for ln in lines[i + 1 :]:
+            if "Exchange" in ln:
+                assert "SinglePartition" not in ln, plan
+                break
+
+
+def test_curated_corpus_single_tokenize(spark, sf_dir):
+    """curated_corpus's docstring claim: the quality branch and the
+    dedup branch share ONE tokenize pass — the persisted (doc_id,
+    tokens) relation is passed explicitly to both. The final plan's
+    quality side must read the cache (InMemoryTableScan), with NO
+    tokenizer stage (ArrowEvalPython) left anywhere: tokenization ran
+    exactly once, when the shared relation materialized inside the
+    dedup branch."""
+    from keywords4cv_spark.driver_queries import QUERIES
+
+    df = QUERIES["curated_corpus"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "InMemoryTableScan" in plan, plan
+    # every tokenizer stage in the printout must sit INSIDE an
+    # InMemoryRelation's cached-plan description (provenance of the one
+    # shared materialization), never as a live stage: in explain output
+    # a live ArrowEvalPython line is not preceded by an
+    # InMemoryTableScan/InMemoryRelation pair above it in its subtree —
+    # cheap proxy: the first ArrowEvalPython line, if any, appears AFTER
+    # the first InMemoryRelation line.
+    lines = plan.splitlines()
+    first_arrow = next(
+        (i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln), None
+    )
+    first_imr = next(
+        (i for i, ln in enumerate(lines) if "InMemoryRelation" in ln), None
+    )
+    if first_arrow is not None:
+        assert first_imr is not None and first_imr < first_arrow, plan
