@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "repetition_scores",
     "proximity_query",
     "bm25f_topk",
+    "host_quality_rollup",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

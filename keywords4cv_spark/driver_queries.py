@@ -1091,6 +1091,39 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_quality_rollup",
+    f"""
+WITH q AS ({_quality_oracle()})
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(q.quality), 6) AS mean_quality,
+       round(avg(CASE WHEN q.quality < 0.5 THEN 1.0 ELSE 0.0 END), 6)
+         AS low_quality_frac
+FROM q JOIN documents s USING (doc_id)
+GROUP BY s.source""",
+)
+def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) curation rollup — the standard
+    web-pipeline step of filtering whole hosts by aggregate quality
+    (RefinedWeb/Gopher-style): doc counts, mean quality, and the
+    fraction of docs below the curation threshold, one hash agg over
+    the per-doc quality scores."""
+    docs = _docs(spark, sf_dir)
+    qual = textstats.quality_scores(docs, CFG).select("doc_id", "quality")
+    return (
+        qual.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(
+                F.avg((F.col("quality") < F.lit(0.5)).cast("double")), 6
+            ).alias("low_quality_frac"),
+        )
+    )
+
+
+@register(
     "token_stats",
     f"""
 WITH d AS ({_EN_TOKS})
