@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     "proximity_query",
     "bm25f_topk",
     "host_quality_rollup",
+    "prefix_query",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

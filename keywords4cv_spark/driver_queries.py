@@ -2248,6 +2248,86 @@ def q_phrase_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, index, _PHRASES)
 
 
+# prefix (wildcard) retrieval: (query_id, prefix)
+_PREFIX_QUERIES: list[tuple[int, str]] = [(0, "mer"), (1, "que"), (2, "zzz")]
+
+
+@register(
+    "prefix_query",
+    f"""
+WITH {_TF_CTES},
+p(query_id, prefix) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES
+  {", ".join(f"({q}, '{pre}')" for q, pre in _PREFIX_QUERIES)}) v(c0, c1))
+SELECT p.query_id, t.doc_id,
+       CAST(count(DISTINCT t.term) AS BIGINT) AS n_terms,
+       CAST(sum(t.tf) AS BIGINT) AS total_tf
+FROM p JOIN tfs t ON t.term LIKE p.prefix || '%'
+GROUP BY p.query_id, t.doc_id""",
+)
+def q_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (wildcard) retrieval — the Lucene PrefixQuery analog: the
+    dictionary is a TABLE, so term expansion is a startswith filter the
+    parquet scan pushes down (StringStartsWith); the expanded term set
+    then prunes the postings scan by bucket + term_id exactly like a
+    multi-term query, and per-doc hits aggregate (distinct matched
+    terms, summed tf). At web vocabulary the dictionary filter is a
+    range scan over the term-sorted dictionary — never a full postings
+    pass."""
+    index, _icfg = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(_PREFIX_QUERIES, "query_id long, prefix string")
+    terms = index.dictionary.select("term", "term_id")
+    expanded = terms.join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    ).select("query_id", "term_id")
+    term_ids = [r["term_id"] for r in expanded.select("term_id").distinct().collect()]
+    if not term_ids:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_terms long, total_tf long"
+        )
+    srow = index.stats_row()
+    scan = index.postings
+    if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
+        nb = int(srow["n_term_buckets"])
+        scan = scan.filter(
+            F.col("bucket").isin(sorted({tid % nb for tid in term_ids}))
+        )
+    blocks = scan.filter(F.col("term_id").isin(term_ids)).join(
+        F.broadcast(expanded), "term_id"
+    )
+    from keywords4cv_spark.index.codec import decode_block
+
+    def explode_counts(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf_ in batches:
+            outs = []
+            for _, row in pdf_.iterrows():
+                docs, tfs, _dls = decode_block(
+                    row["payload"], int(row["n"]), int(row["first_doc"])
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(row["query_id"]),
+                            "term_id": int(row["term_id"]),
+                            "doc_id": docs.astype("int64"),
+                            "tf": tfs.astype("int64"),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    rows = blocks.mapInPandas(
+        explode_counts, "query_id long, term_id long, doc_id long, tf long"
+    )
+    return rows.groupBy("query_id", "doc_id").agg(
+        F.countDistinct("term_id").cast("long").alias("n_terms"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
 _PROX_PHRASES = ["merge join", "table scan", "data column query"]
 _PROX_SLOP = 2
 
