@@ -31,6 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # old green row no longer certifies them), (3) everything else, still
 # green from the most recent gate. The dict is the full registry either
 # way — only the iteration order changes.
+#
+# ROUND-4 NOTE: the ~26 registration-order entries that fell beyond the
+# r3 gate window (r2-green, e.g. dedup_exact … reference_scored_terms)
+# will then be two rounds stale — rotate them to the FRONT of this list
+# next round and demote the r3-certified block.
 _GATE_PRIORITY = [
     # never driver-checked (r1+r2)
     "ann_ivf_topk",
