@@ -66,6 +66,7 @@ _GATE_PRIORITY = [
     "bm25f_topk",
     "host_quality_rollup",
     "prefix_query",
+    "stream_dedup_counts",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

@@ -741,6 +741,48 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+@register("stream_dedup_counts", ORACLES["dedup_exact"])
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: the exact-duplicate aggregation run as
+    a Structured Streaming query over the documents file stream
+    (complete output mode — min/count are order-free, so the running
+    result is batch-identical regardless of micro-batch arrival order;
+    shares dedup_exact's oracle). The crawl-ingest shape: duplicates
+    collapse AS documents arrive, not in a nightly batch."""
+    import uuid
+
+    docs = _docs(spark, sf_dir)
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"k4cv_dedup_ckpt_{qname}")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "k4cv_docs_stream_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    target = os.path.abspath(f"{sf_dir}/documents.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != target:
+        os.remove(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        dedup.exact_duplicates(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname)
+
+
 @register(
     "minhash_band_minima",
     f"WITH {_SHINGLE_CTES} SELECT doc_id, band, minhash FROM bands",
