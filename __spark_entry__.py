@@ -67,6 +67,7 @@ _GATE_PRIORITY = [
     "host_quality_rollup",
     "prefix_query",
     "stream_dedup_counts",
+    "bm25_page2_topk",
     "simhash_near_dups",
     "lsh_near_dup_pairs",
     "ann_lsh_buckets",

@@ -111,12 +111,14 @@ def _bm25_oracle(
     k: int,
     d_sql: str = _EN_TOKS,
     exclude_pred: str | None = None,
+    offset: int = 0,
 ) -> str:
     """BM25 top-k oracle. ``d_sql`` overrides the corpus CTE (recrawl
     scenarios score over a modified doc set); ``exclude_pred`` filters
     docs AFTER scoring but BEFORE ranking — tombstoned docs never rank,
     yet still count in n_docs/avgdl/df (Lucene deleted-docs semantics,
-    index/upsert.py)."""
+    index/upsert.py); ``offset`` skips the first N ranks and renumbers
+    (cursor-pagination page N+1)."""
     filt = f"WHERE NOT ({exclude_pred})" if exclude_pred else ""
     return f"""
 WITH {_tf_ctes(d_sql)},
@@ -140,7 +142,8 @@ ranked AS (
          ) AS INTEGER) AS rank
   FROM scored {filt}
 )
-SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+SELECT query_id, CAST(rank - {offset} AS INTEGER) AS rank, doc_id, score
+FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
 """
 
 
@@ -176,6 +179,36 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-identical to bm25_topk by construction — shares its oracle."""
     index, cfg = _index_for(spark, sf_dir)
     return bm25_wand(spark, index, CFG, TOP_K)
+
+
+@register(
+    "bm25_page2_topk", _bm25_oracle(CFG.k1, CFG.b, TOP_K, offset=TOP_K)
+)
+def q_bm25_page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor (search-after) pagination: page 2 of the BM25 ranking —
+    each query's next k results strictly after its page-1 cursor. Every
+    page stays a k-sized heap problem regardless of depth (offset
+    pagination needs a depth·k heap — the web-scale deep-paging
+    killer). Queries without a full first page have no page 2."""
+    index, _cfg = _index_for(spark, sf_dir)
+    page1 = bm25_wand(spark, index, CFG, TOP_K).collect()
+    by_q: dict[int, list] = {}
+    for r in page1:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    cursors = {
+        qid: (
+            float(max(rows, key=lambda r: r["rank"])["score"]),
+            int(max(rows, key=lambda r: r["rank"])["doc_id"]),
+        )
+        for qid, rows in by_q.items()
+        if len(rows) == TOP_K
+    }
+    if not cursors:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    pairs = [(q, t) for q, t in query_term_pairs() if q in cursors]
+    return bm25_wand(spark, index, CFG, TOP_K, queries=pairs, after=cursors)
 
 
 # ---------------------------------------------------------------------------

@@ -137,7 +137,10 @@ class _Cursor:
 
 
 def _bmw_one_query(
-    cursors: list[_Cursor], k: int, excluded: frozenset[int] = frozenset()
+    cursors: list[_Cursor],
+    k: int,
+    excluded: frozenset[int] = frozenset(),
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND → [(doc_id, exact_score)] of the top-k candidates.
 
@@ -148,8 +151,16 @@ def _bmw_one_query(
     index/upsert.py): they are never scored or pushed to the heap, and
     skipping them keeps every bound valid (exclusion only removes
     candidates; it can't raise any doc's score past an upper bound).
+
+    ``after`` = (rounded_score, doc_id) search-after cursor: only docs
+    ranked STRICTLY after it (key (round(score,6), -doc_id) below the
+    cursor's) enter the heap. The threshold stays heap-based — page-2
+    scores sit BELOW the cursor, so seeding θ at the cursor score would
+    wrongly prune them; the cursor's payoff is a bounded heap per page
+    (k, not page·k) regardless of depth, unlike offset pagination.
     """
     heap: list[tuple[float, int]] = []
+    after_key = (after[0], -after[1]) if after is not None else None
 
     def threshold() -> float:
         return heap[0][0] - MARGIN if len(heap) >= k else -np.inf
@@ -184,7 +195,9 @@ def _bmw_one_query(
             if block_acc > theta:
                 score = sum(c.score_current() for c in holders)
                 item = (round(score, SCORE_DECIMALS), -pivot_doc, score)
-                if len(heap) < k:
+                if after_key is not None and item[:2] >= after_key:
+                    pass  # at-or-before the cursor: belongs to earlier pages
+                elif len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item[:2] > heap[0][:2]:
                     heapq.heapreplace(heap, item)
@@ -210,8 +223,16 @@ def bm25_wand(
     cfg: EngineConfig = DEFAULT_CONFIG,
     k: int = TOP_K,
     queries: list[tuple[int, str]] | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
-    """BM25 top-k via Block-Max WAND; rank-identical to bm25_brute_force."""
+    """BM25 top-k via Block-Max WAND; rank-identical to bm25_brute_force.
+
+    ``after``: per-query search-after cursor {query_id: (rounded_score,
+    doc_id)} — returns the NEXT k results ranked strictly after the
+    cursor. Cursor pagination keeps every page a k-sized heap problem
+    (offset pagination at depth d needs a d·k heap). Queries absent
+    from the dict paginate from the top as usual.
+    """
     from keywords4cv_spark.deploy import ensure_py_files
 
     ensure_py_files(spark)
@@ -236,6 +257,7 @@ def bm25_wand(
     blocks = scan.filter(F.col("term_id").isin(term_ids)).join(
         F.broadcast(qterms), "term_id"
     )
+    after_b = spark.sparkContext.broadcast(after or {})
 
     def bmw(pdf: pd.DataFrame) -> pd.DataFrame:
         # one (query, doc-band) group: segment is constant here, so each
@@ -255,7 +277,7 @@ def bm25_wand(
                     g["n"].to_numpy(np.int64),
                 )
             )
-        hits = _bmw_one_query(cursors, k)
+        hits = _bmw_one_query(cursors, k, after=after_b.value.get(qid))
         return pd.DataFrame(
             {
                 "query_id": pd.Series([qid] * len(hits), dtype="int64"),

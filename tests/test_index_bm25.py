@@ -605,3 +605,44 @@ def test_proximity_search_semantics(spark, docs, tmp_path):
         for r in proximity_search(spark, idx, phrases, slop=0).collect()
     }
     assert prox0 == exact
+
+
+def test_search_after_pages_reconstruct_full_ranking(spark, docs, index):
+    """Cursor pagination: concatenating successive search-after pages
+    must reproduce the one-shot deep top-k exactly (same docs, same
+    order), for several page hops."""
+    PAGE, PAGES = 5, 4
+    deep = bm25_wand(spark, index, CFG, k=PAGE * PAGES)
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.score) for r in deep.collect()
+    }
+    got = {}
+    cursors = {}
+    active = None  # all queries on page 1
+    for page in range(PAGES):
+        from keywords4cv_spark.query.fixtures import query_term_pairs
+
+        pairs = (
+            None
+            if active is None
+            else [(q, t) for q, t in query_term_pairs() if q in active]
+        )
+        rows = bm25_wand(
+            spark, index, CFG, k=PAGE, queries=pairs,
+            after=cursors if cursors else None,
+        ).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+            got[(r.query_id, page * PAGE + r.rank)] = (r.doc_id, r.score)
+        cursors = {
+            qid: (float(rs[-1].score), int(rs[-1].doc_id))
+            for qid, rs in (
+                (qid, sorted(rs, key=lambda r: r.rank)) for qid, rs in by_q.items()
+            )
+            if len(rs) == PAGE
+        }
+        active = set(cursors)
+        if not active:
+            break
+    assert got == want
