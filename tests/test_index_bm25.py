@@ -646,3 +646,28 @@ def test_search_after_pages_reconstruct_full_ranking(spark, docs, index):
         if not active:
             break
     assert got == want
+
+
+def test_superseded_docs_within_generation_dup(spark, docs, tmp_path):
+    """A url crawled twice in the SAME batch: the winner-per-url rule
+    (max(gen_seq, doc_id)) keeps the newest capture (highest doc_id)
+    and tombstones the earlier one — no cross-generation recrawl
+    needed."""
+    from keywords4cv_spark.index.upsert import superseded_docs
+
+    base = docs.withColumn(
+        "url", F.concat_ws("/", F.col("source"), F.col("doc_id"))
+    )
+    # duplicate the first 3 en docs into the same batch with new doc_ids
+    dups = (
+        base.filter(F.col("lang") == "en").orderBy("doc_id").limit(3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(500_000))
+    )
+    batch = base.unionByName(dups)
+    g = build_index(spark, batch, str(tmp_path / "wg"), CFG, url_col="url")
+    tombs = {r.doc_id for r in superseded_docs([g]).collect()}
+    originals = {
+        r.doc_id for r in base.filter(F.col("lang") == "en")
+        .orderBy("doc_id").limit(3).collect()
+    }
+    assert tombs == originals
