@@ -32,52 +32,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # green from the most recent gate. The dict is the full registry either
 # way — only the iteration order changes.
 #
-# ROUND-4 NOTE: the ~26 registration-order entries that fell beyond the
-# r3 gate window (r2-green, e.g. dedup_exact … reference_scored_terms)
-# will then be two rounds stale — rotate them to the FRONT of this list
-# next round and demote the r3-certified block.
+# ROUND-5 NOTE: the r3-certified block that fell beyond the r4 gate
+# window will then be two rounds stale — rotate it to the FRONT of this
+# list next round and demote the r4-certified entries.
 _GATE_PRIORITY = [
-    # never driver-checked (r1+r2)
-    "ann_ivf_topk",
-    "bm25_compacted_topk",
-    # green in r1 only, absent from the r2 gate window
-    "assign_to_centroids",
-    "bm25_incremental_topk",
-    "boolean_and_query",
-    "categorize_terms",
-    "label_centroids",
-    "phrase_query",
-    "phrase_query_indexed",
-    "priority_rollup",
-    "returns_cube",
-    "sanitize_docs",
-    "segment_pivot",
-    # changed in round 3 (scaled signatures / rewritten plans / new ops)
-    "simhash64",
-    "phrase_query_compacted",
-    "context_validated_semantic",
-    "boolean_or_not_query",
-    "curated_corpus",
-    "bm25_recrawl_topk",
-    "bm25_recrawl_purged_topk",
-    "snippet_windows",
-    "repetition_scores",
-    "proximity_query",
-    "bm25f_topk",
-    "host_quality_rollup",
+    # last driver-checked in r2 (rotated out of the r3 window) — the
+    # entire r4 rotation debt per VERDICT r3 "What's missing #1"
+    "byte_histogram",
+    "context_validated_terms",
+    "cosine_topk",
+    "customers_without_big_orders",
+    "dedup_exact",
+    "doc_fingerprints",
+    "events_props_stats",
+    "events_sessionized",
+    "events_tumbling",
+    "extract_text_md5",
+    "extraction_metrics",
+    "jaccard_verified_pairs",
+    "keyword_sections",
+    "lang_id",
+    "lsh_candidate_pairs",
+    "minhash_band_minima",
+    "multimodal_meta",
+    "part_supplier_volume",
+    "quality_scores",
+    "reference_scored_terms",
+    "running_user_totals",
+    "section_stats",
+    "sentence_stats",
+    "simhash16",
+    "supplier_balance_rollup",
+    "surviving_bigrams",
+    "synonym_expanded_counts",
+    "token_stats",
+    # new in round 4
+    "bm25_synonym_topk",
+    "contaminated_docs",
+    "curated_corpus_clean",
+    "snippet_windows_recrawl",
+    "phrase_query_recrawl",
+    # changed in round 4 (rewritten pruning / new init rule / oracle fix)
     "prefix_query",
-    "stream_dedup_counts",
-    "bm25_page2_topk",
-    "simhash_near_dups",
-    "lsh_near_dup_pairs",
+    "ann_ivf_topk",
+    "assign_to_centroids",
     "ann_lsh_buckets",
+    "lsh_near_dup_pairs",
     "canonical_clusters",
-    "map_whitelist",
-    "dup_components",
-    "fuzzy_match_scores",
-    "stream_sessions_closed",
+    "stream_dedup_counts",
+    # r3-certified block (still green from the most recent gate)
     "bm25_wand_topk",
     "bm25_topk",
+    "bm25_incremental_topk",
+    "bm25_compacted_topk",
+    "bm25_recrawl_topk",
+    "bm25_recrawl_purged_topk",
+    "curated_corpus",
+    "snippet_windows",
+    "map_whitelist",
+    "dup_components",
 ]
 
 
@@ -90,7 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from keywords4cv_spark.driver_queries import ORACLES
+    from keywords4cv_spark.driver_queries import ORACLES, ensure_oracle_fixtures
+
+    # oracles must be runnable in any order relative to the Spark
+    # queries — materialize the parquet fixtures they read up front
+    ensure_oracle_fixtures()
 
     ordered = {n: ORACLES[n] for n in _GATE_PRIORITY if n in ORACLES}
     ordered.update((n, s) for n, s in ORACLES.items() if n not in ordered)

@@ -28,6 +28,6 @@ vectorized Arrow-batched UDFs (never per-row).
 # 0.3.x indexes are layout-incompatible with band-grouped query plans.
 # 0.5.0: the stats table carries an explicit `layout` marker and
 # load_index refuses trees without it (pre-0.5 caches must rebuild).
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 from keywords4cv_spark.config import EngineConfig  # noqa: F401

@@ -24,6 +24,7 @@ meaningful at 0.01 (the driver never compares elsewhere).
 
 from __future__ import annotations
 
+import re
 import os
 import tempfile
 from collections.abc import Callable
@@ -781,12 +782,22 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complete output mode — min/count are order-free, so the running
     result is batch-identical regardless of micro-batch arrival order;
     shares dedup_exact's oracle). The crawl-ingest shape: duplicates
-    collapse AS documents arrive, not in a nightly batch."""
-    import uuid
+    collapse AS documents arrive, not in a nightly batch.
+
+    The checkpoint path and memory-sink name are deterministic per
+    (engine version, sf_dir) — the checkpoint is recreated fresh each
+    invocation and the previous memory table dropped, so repeated gate
+    runs reuse one /tmp slot instead of leaking a uuid-named dir plus a
+    registered temp view per call (ADVICE r3)."""
+    import shutil
 
     docs = _docs(spark, sf_dir)
-    qname = f"dedup_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"k4cv_dedup_ckpt_{qname}")
+    qname = "dedup_stream_" + re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"k4cv_dedup_ckpt_{_ENGINE_V}_{qname}"
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(qname)
     stage = os.path.join(
         tempfile.gettempdir(),
         "k4cv_docs_stream_" + sf_dir.strip("/").replace("/", "_"),
@@ -1021,9 +1032,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(spark, _emb(spark, sf_dir), _PROBE_IDS, k=5)
 
 
-def _lsh_bucket_sql(n_planes: int, plane_offset: int = 0) -> str:
+# The oracle derives the corpus-scaled plane count from the ACTUAL
+# embeddings row count in SQL (same rule as similarity.n_planes_for), so
+# the gate is scale-correct at any sf (ADVICE r3 — the r3 oracle baked in
+# the 500-row gate constant). Sign literals are emitted for a fixed
+# _MAX_ORACLE_PLANES and each plane's contribution is gated on j < np —
+# valid for corpora up to TARGET_BUCKET_SIZE·2^16 ≈ 2M vectors, far
+# beyond any oracle scale. The fixed PLANE_STRIDE table offset keeps the
+# per-(table, plane) sign lists independent of np.
+_MAX_ORACLE_PLANES = 16
+
+
+def _np_cte() -> str:
+    return (
+        "np AS (SELECT GREATEST(1, CAST(ceil(log2(GREATEST(2.0, "
+        f"count(*) / {similarity.TARGET_BUCKET_SIZE}.0))) AS INTEGER)) AS n "
+        "FROM embeddings)"
+    )
+
+
+def _lsh_bucket_sql(plane_offset: int = 0) -> str:
     projs = []
-    for j in range(n_planes):
+    for j in range(_MAX_ORACLE_PLANES):
         jg = plane_offset + j  # global plane index (multi-table LSH)
         # literal ±1 sign list (md5-derived, same rule as the Spark and
         # numpy twins — similarity.plane_sign); fixture embeddings are
@@ -1036,21 +1066,18 @@ def _lsh_bucket_sql(n_planes: int, plane_offset: int = 0) -> str:
             "list_sum(list_transform(range(1, len(embedding) + 1), "
             f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}][i])))"
         )
-        projs.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        projs.append(
+            f"(CASE WHEN {j} < np.n AND {proj} > 0 THEN {1 << j} ELSE 0 END)"
+        )
     return " + ".join(projs)
-
-
-# the driver's gate runs at sf0.01 (500 embedding rows): the oracle bakes
-# in the SAME corpus-scaled plane count the Spark side derives at runtime
-_GATE_N_EMB = 500
-_GATE_PLANES = similarity.n_planes_for(_GATE_N_EMB)
 
 
 @register(
     "ann_lsh_buckets",
     f"""
-SELECT vec_id, CAST({_lsh_bucket_sql(_GATE_PLANES)} AS BIGINT) AS bucket
-FROM embeddings""",
+WITH {_np_cte()}
+SELECT vec_id, CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
+FROM embeddings, np""",
 )
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection bucketing at the corpus-scaled plane count
@@ -1060,13 +1087,13 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_buckets(emb, similarity.n_planes_for(emb.count()))
 
 
-def _lsh_pairs_oracle(n_planes: int, n_tables: int) -> str:
+def _lsh_pairs_oracle(n_tables: int) -> str:
     tables = []
     for t in range(n_tables):
         tables.append(
             f"b{t} AS (SELECT vec_id, "
-            f"CAST({_lsh_bucket_sql(n_planes, plane_offset=t * n_planes)} AS BIGINT)"
-            f" AS bucket FROM embeddings)"
+            f"CAST({_lsh_bucket_sql(plane_offset=t * similarity.PLANE_STRIDE)} AS BIGINT)"
+            f" AS bucket FROM embeddings, np)"
         )
     cands = " UNION ".join(
         f"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b "
@@ -1075,7 +1102,8 @@ def _lsh_pairs_oracle(n_planes: int, n_tables: int) -> str:
     )
     tables_sql = ",\n".join(tables)
     return f"""
-WITH {tables_sql},
+WITH {_np_cte()},
+{tables_sql},
 cand AS ({cands}),
 pairs AS (
   SELECT cand.vec_a, cand.vec_b,
@@ -1089,7 +1117,7 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
 
 @register(
     "lsh_near_dup_pairs",
-    _lsh_pairs_oracle(_GATE_PLANES, similarity.DEFAULT_LSH_TABLES),
+    _lsh_pairs_oracle(similarity.DEFAULT_LSH_TABLES),
 )
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH near-dup pairs: corpus-scaled plane count (the
@@ -1340,6 +1368,15 @@ def _ensure_canon_fixture() -> str:
     with open(done, "w") as f:
         f.write("ok")
     return _CANON_FIXTURE
+
+
+def ensure_oracle_fixtures() -> None:
+    """Materialize every parquet fixture some oracle SQL reads, without
+    needing a SparkSession — so a harness that resolves/executes oracle
+    SQL before (or without) running the paired Spark query still finds
+    the tables (ADVICE r3). Called from __spark_entry__.oracle_sql()."""
+    _ensure_canon_fixture()
+    ensure_synth_parquet(_SYNTH_PATH, _SYNTH_N, seed=_SYNTH_SEED)
 
 
 @register(
@@ -2339,36 +2376,53 @@ SELECT p.query_id, t.doc_id,
 FROM p JOIN tfs t ON t.term LIKE p.prefix || '%'
 GROUP BY p.query_id, t.doc_id""",
 )
-def q_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_prefix_query(
+    spark: SparkSession, sf_dir: str, max_expansions: int = 1024
+) -> DataFrame:
     """Prefix (wildcard) retrieval — the Lucene PrefixQuery analog: the
     dictionary is a TABLE, so term expansion is a startswith filter the
     parquet scan pushes down (StringStartsWith); the expanded term set
-    then prunes the postings scan by bucket + term_id exactly like a
-    multi-term query, and per-doc hits aggregate (distinct matched
-    terms, summed tf). At web vocabulary the dictionary filter is a
-    range scan over the term-sorted dictionary — never a full postings
-    pass."""
+    then prunes the postings scan via a broadcast join on term_id plus a
+    driver-side DISTINCT-bucket collect (bounded by n_term_buckets, never
+    by vocabulary size) for partition pruning, and per-doc hits aggregate
+    (distinct matched terms, summed tf). At web vocabulary the dictionary
+    filter is a range scan over the term-sorted dictionary — never a full
+    postings pass — and ``max_expansions`` caps the expanded set per
+    query (lexicographically-first terms, Lucene maxExpansions
+    semantics), so no plan node ever grows with the match count."""
     index, _icfg = _index_for(spark, sf_dir)
     pdf = spark.createDataFrame(_PREFIX_QUERIES, "query_id long, prefix string")
     terms = index.dictionary.select("term", "term_id")
     expanded = terms.join(
         F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
-    ).select("query_id", "term_id")
-    term_ids = [r["term_id"] for r in expanded.select("term_id").distinct().collect()]
-    if not term_ids:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, n_terms long, total_tf long"
+    ).select("query_id", "term", "term_id")
+    if max_expansions is not None:
+        w = Window.partitionBy("query_id").orderBy("term")
+        expanded = (
+            expanded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_expansions)
+            .drop("_rk")
         )
+    expanded = expanded.drop("term")
     srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
         nb = int(srow["n_term_buckets"])
-        scan = scan.filter(
-            F.col("bucket").isin(sorted({tid % nb for tid in term_ids}))
+        # bounded by n_term_buckets regardless of expansion width
+        buckets = sorted(
+            int(r["bucket"])
+            for r in expanded.select(
+                (F.col("term_id") % F.lit(nb)).alias("bucket")
+            )
+            .distinct()
+            .collect()
         )
-    blocks = scan.filter(F.col("term_id").isin(term_ids)).join(
-        F.broadcast(expanded), "term_id"
-    )
+        if not buckets:
+            return spark.createDataFrame(
+                [], "query_id long, doc_id long, n_terms long, total_tf long"
+            )
+        scan = scan.filter(F.col("bucket").isin(buckets))
+    blocks = scan.join(F.broadcast(expanded), "term_id")
     from keywords4cv_spark.index.codec import decode_block
 
     def explode_counts(batches):

