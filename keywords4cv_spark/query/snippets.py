@@ -42,6 +42,7 @@ def snippet_windows(
     k: int = TOP_K,
     width: int = 8,
     queries: list[tuple[int, str]] | None = None,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, win_start, n_terms) — the best snippet window
     per BM25 top-k hit. Requires ``store_positions=True`` at build.
@@ -49,16 +50,29 @@ def snippet_windows(
     The hit set is collected driver-side (it is a top-k result —
     k·n_queries rows, driver-small by construction) and broadcast into
     the decode tasks so only hit docs' position streams are touched.
+
+    ``exclude``: optional (doc_id) tombstone frame (superseded recrawl
+    versions, index/upsert.py). Exclusion must happen BEFORE the top-k
+    cut — a stale doc in the heap would displace a live hit — so the
+    hit set is computed through the tombstone-aware multi-generation
+    scorer (the tombstones ride its (query, band) shuffle; this index
+    is just a 1-generation family of it), with statistics still
+    counting tombstoned docs until a purging compaction (Lucene
+    deleted-docs semantics).
     """
     from keywords4cv_spark.deploy import ensure_py_files
 
     ensure_py_files(spark)
     pairs = queries if queries is not None else query_term_pairs()
-    hits = (
-        bm25_wand(spark, index, cfg, k=k, queries=pairs)
-        .select("query_id", "doc_id")
-        .collect()
-    )
+    if exclude is not None:
+        from keywords4cv_spark.query.wand import bm25_wand_multi
+
+        hit_df = bm25_wand_multi(
+            spark, [index], cfg, k=k, queries=pairs, exclude=exclude
+        )
+    else:
+        hit_df = bm25_wand(spark, index, cfg, k=k, queries=pairs)
+    hits = hit_df.select("query_id", "doc_id").collect()
     hit_map: dict[int, set[int]] = {}
     for r in hits:
         hit_map.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))

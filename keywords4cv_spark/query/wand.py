@@ -222,10 +222,16 @@ def bm25_wand(
     index: IndexTables,
     cfg: EngineConfig = DEFAULT_CONFIG,
     k: int = TOP_K,
-    queries: list[tuple[int, str]] | None = None,
+    queries: list[tuple[int, str]] | list[tuple[int, str, float]] | None = None,
     after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """BM25 top-k via Block-Max WAND; rank-identical to bm25_brute_force.
+
+    ``queries`` rows may carry an optional third element: a per-term
+    WEIGHT (query-time synonym/abbreviation expansion gives expanded
+    terms a sub-1.0 weight). A weight w scales the term's contribution
+    as w·idf — and the stored block-max bound is scaled by the same w,
+    so WAND pruning stays exact at any positive weight.
 
     ``after``: per-query search-after cursor {query_id: (rounded_score,
     doc_id)} — returns the NEXT k results ranked strictly after the
@@ -237,12 +243,17 @@ def bm25_wand(
 
     ensure_py_files(spark)
     pairs = queries if queries is not None else query_term_pairs()
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    pairs3 = [
+        (p[0], p[1], float(p[2]) if len(p) > 2 else 1.0) for p in pairs
+    ]
+    qdf = spark.createDataFrame(pairs3, "query_id long, term string, w double")
     srow = index.stats_row()
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     k1, b = cfg.k1, cfg.b
 
-    qterms = qdf.join(index.dictionary, "term").select("query_id", "term_id", "df")
+    qterms = qdf.join(index.dictionary, "term").select(
+        "query_id", "term_id", "df", "w"
+    )
     term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
     if not term_ids:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
@@ -266,13 +277,15 @@ def bm25_wand(
         cursors = []
         for _, g in pdf.groupby("term_id", sort=True):
             df_val = int(g["df"].iloc[0])
-            idf = float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
+            w = float(g["w"].iloc[0])
+            idf = w * float(np.log(1.0 + (n_docs - df_val + 0.5) / (df_val + 0.5)))
             cursors.append(
                 _Cursor(
                     idf, k1, b, avgdl,
                     g["first_doc"].to_numpy(np.int64),
                     g["last_doc"].to_numpy(np.int64),
-                    g["max_score"].to_numpy(np.float64),
+                    # bound scales with the weight, keeping pruning exact
+                    w * g["max_score"].to_numpy(np.float64),
                     list(g["payload"]),
                     g["n"].to_numpy(np.int64),
                 )
