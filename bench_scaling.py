@@ -100,14 +100,23 @@ def _copy_burn(seconds: float) -> int:
 
 
 def ensure_corpus(path: str, n_docs: int) -> None:
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
+    # sidecar size marker: an existing corpus of a DIFFERENT --docs must
+    # regenerate (an r4 run silently measured 500k under a --docs 1000000
+    # flag because only _SUCCESS was checked)
+    marker = os.path.join(path, "_N_DOCS")
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(marker):
+        with open(marker) as f:
+            if int(f.read().strip()) == n_docs:
+                return
+    shutil.rmtree(path, ignore_errors=True)
     from keywords4cv_spark.session import get_spark
     from keywords4cv_spark.sources.corpus import synth_documents
 
     spark = get_spark(master="local[32]", app_name="k4cv-synth", shuffle_partitions=32)
     synth_documents(spark, n_docs, n_partitions=64).write.mode("overwrite").parquet(path)
     spark.stop()
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
 
 
 def worker(cpus: int, corpus: str) -> None:

@@ -80,6 +80,26 @@ def current_manifest(spark: SparkSession, family_dir: str) -> DataFrame | None:
     )
 
 
+def manifest_at(
+    spark: SparkSession, family_dir: str, version: int
+) -> DataFrame:
+    """Time travel: the manifest as of committed snapshot ``version``
+    (the Iceberg ``VERSION AS OF`` analog). Earlier versions are never
+    rewritten — append and compaction both commit NEW versions — so a
+    reader pinned to version N sees the exact generation set that was
+    current then, including generations later removed by compaction
+    (their index trees are only subsumed logically; physical removal is
+    a separate GC decision, as in any snapshot table format)."""
+    if version not in _committed_versions(family_dir):
+        raise ValueError(
+            f"no committed manifest version v={version} under {family_dir} "
+            f"(committed: {_committed_versions(family_dir)})"
+        )
+    return spark.read.parquet(
+        os.path.join(_manifest_dir(family_dir), f"v={version}")
+    )
+
+
 def _commit_version(
     spark: SparkSession, family_dir: str, rows: list[dict], next_v: int
 ) -> DataFrame:
@@ -198,13 +218,20 @@ def record_compaction(
     return _commit_version(spark, family_dir, rows, next_v)
 
 
-def load_generations(spark: SparkSession, family_dir: str) -> list:
-    """IndexTables for every generation in the current manifest, in
-    gen_id order — the input bm25_wand_multi / compact_generations take.
+def load_generations(
+    spark: SparkSession, family_dir: str, version: int | None = None
+) -> list:
+    """IndexTables for every generation in the current manifest (or the
+    manifest as of ``version`` — snapshot time travel), in gen_id
+    order — the input bm25_wand_multi / compact_generations take.
     Metadata-driven: no directory listing of index trees."""
     from keywords4cv_spark.index.build import load_index
 
-    cur = current_manifest(spark, family_dir)
+    cur = (
+        current_manifest(spark, family_dir)
+        if version is None
+        else manifest_at(spark, family_dir, version)
+    )
     if cur is None:
         return []
     recs = sorted(cur.collect(), key=lambda r: r["gen_id"])

@@ -733,3 +733,45 @@ def test_manifest_compaction_lineage_and_fencing(spark, docs, tmp_path):
                 str(tmp_path / "g3"), CFG, url_col="source")
     with pytest.raises(RuntimeError, match="committed concurrently"):
         append_generation(spark, fam, str(tmp_path / "g3"))
+
+
+def test_manifest_time_travel(spark, docs, tmp_path):
+    """Snapshot time travel (Iceberg VERSION AS OF analog): earlier
+    manifest versions stay readable after later appends AND after a
+    compaction that logically removed generations — a reader pinned to
+    the pre-compaction version still sees (and can query) the original
+    generation set, rank-identically."""
+    from keywords4cv_spark.index.compact import compact_generations
+    from keywords4cv_spark.index.manifest import (
+        append_generation,
+        load_generations,
+        manifest_at,
+        record_compaction,
+    )
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    fam = str(tmp_path / "family")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    for i in (0, 1):
+        build_index(spark, halves[i], str(tmp_path / f"g{i}"), CFG,
+                    url_col="source")
+        append_generation(spark, fam, str(tmp_path / f"g{i}"))
+    gens_v1 = load_generations(spark, fam)
+    compacted = str(tmp_path / "compacted")
+    compact_generations(spark, gens_v1, compacted, CFG)
+    record_compaction(spark, fam, compacted, [0, 1])
+    # v=0: one generation; v=1: two; v=2 (current): the compacted tree
+    assert [r["gen_id"] for r in manifest_at(spark, fam, 0).collect()] == [0]
+    assert sorted(r["gen_id"] for r in manifest_at(spark, fam, 1).collect()) == [0, 1]
+    assert [r["replaces"] for r in manifest_at(spark, fam, 2).collect()] == ["0,1"]
+    with pytest.raises(ValueError, match="no committed manifest version"):
+        manifest_at(spark, fam, 7)
+    # the pre-compaction snapshot still answers, rank-identical to now
+    old_gens = load_generations(spark, fam, version=1)
+    assert len(old_gens) == 2
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    then = _collect(bm25_wand_multi(spark, old_gens, CFG))
+    now = _collect(bm25_wand_multi(spark, load_generations(spark, fam), CFG))
+    assert set(brute) == set(then) == set(now)
+    for key in brute:
+        assert brute[key][0] == then[key][0] == now[key][0], key
