@@ -72,6 +72,9 @@ _GATE_PRIORITY = [
     "curated_corpus_clean",
     "snippet_windows_recrawl",
     "phrase_query_recrawl",
+    "unigram_logprob_scores",
+    "term_suggest",
+    "bm25_filtered_topk",
     # changed in round 4 (rewritten pruning / new init rule / oracle fix)
     "prefix_query",
     "ann_ivf_topk",

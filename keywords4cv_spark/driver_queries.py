@@ -3029,3 +3029,103 @@ def q_snippet_windows_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippet_windows(
         spark, idx, cfg, k=TOP_K, width=_SNIPPET_WIDTH, exclude=tombs
     )
+
+
+# --- round-4 widening: LM-quality scoring, suggest, filtered retrieval ----
+
+@register(
+    "unigram_logprob_scores",
+    f"""
+WITH d AS ({_EN_TOKS}),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM d),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM terms GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(tot.total / c.cf)), 6) AS cross_entropy
+FROM terms t JOIN cf c USING (term) CROSS JOIN tot
+GROUP BY t.doc_id""",
+)
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-doc mean token cross-
+    entropy under the corpus unigram MLE (CCNet-style LM filtering,
+    with the corpus itself as the LM — operators/textstats.py)."""
+    return textstats.unigram_logprob_scores(_docs(spark, sf_dir), CFG)
+
+
+# auto-complete: (prefix_id, prefix) → top-k dictionary terms by df
+_SUGGEST_PREFIXES: list[tuple[int, str]] = [(0, "s"), (1, "c"), (2, "zz")]
+_SUGGEST_K = 8
+
+
+@register(
+    "term_suggest",
+    f"""
+WITH {_TF_CTES},
+p(prefix_id, prefix) AS (SELECT CAST(c0 AS BIGINT), c1 FROM (VALUES
+  {", ".join(f"({i}, '{p}')" for i, p in _SUGGEST_PREFIXES)}) v(c0, c1)),
+ranked AS (
+  SELECT p.prefix_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.prefix_id
+                            ORDER BY d.df DESC, d.term) AS rank
+  FROM p JOIN dict d ON d.term LIKE p.prefix || '%'
+)
+SELECT prefix_id, CAST(rank AS INTEGER) AS rank, term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {_SUGGEST_K}""",
+)
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query auto-complete (the Lucene suggester analog): top-k
+    dictionary terms per prefix ranked by document frequency. Pure
+    dictionary work — a startswith range scan over the term-sorted
+    dictionary plus a per-prefix top-k window; postings never touched,
+    nothing scales with the corpus beyond |V|."""
+    index, _icfg = _index_for(spark, sf_dir)
+    pdf = spark.createDataFrame(_SUGGEST_PREFIXES, "prefix_id long, prefix string")
+    cand = index.dictionary.join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix_id").orderBy(F.col("df").desc(), "term")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SUGGEST_K)
+        .select(
+            "prefix_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
+# faceted / filtered retrieval: BM25 top-k restricted to allowed sources
+_ALLOWED_SOURCES: list[str] = [f"src{i}" for i in range(0, 20, 3)]
+
+
+@register(
+    "bm25_filtered_topk",
+    _bm25_oracle(
+        CFG.k1, CFG.b, TOP_K,
+        exclude_pred=(
+            "doc_id IN (SELECT doc_id FROM documents WHERE source NOT IN ("
+            + ", ".join(f"'{s}'" for s in _ALLOWED_SOURCES)
+            + "))"
+        ),
+    ),
+)
+def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval (the Lucene filtered-query analog):
+    BM25 top-k restricted to documents from an allowed source set.
+    The filter is expressed as the COMPLEMENT through the existing
+    tombstone machinery — disallowed docs ride the (query, band)
+    shuffle as marker rows and are excluded BEFORE the top-k cut, while
+    collection statistics stay corpus-wide (exactly Lucene's
+    filter-vs-boolean-must distinction, and the same deleted-docs
+    semantics the recrawl path uses). The docmeta predicate scan is
+    O(docs) metadata, never postings."""
+    index, icfg = _index_for(spark, sf_dir)
+    disallowed = index.docmeta.filter(
+        ~F.col("url").isin(_ALLOWED_SOURCES)
+    ).select("doc_id")
+    # icfg, not CFG: the tombstone band rule (doc_id % n_salts) must
+    # match the index's segment layout or markers land in the wrong
+    # scoring tasks
+    return bm25_wand_multi(spark, [index], icfg, TOP_K, exclude=disallowed)

@@ -236,3 +236,45 @@ def load_generations(
         return []
     recs = sorted(cur.collect(), key=lambda r: r["gen_id"])
     return [load_index(spark, r["path"]) for r in recs]
+
+
+def expire_snapshots(
+    spark: SparkSession, family_dir: str, keep_last: int = 2
+) -> dict:
+    """Iceberg ``expire_snapshots`` analog: drop all but the newest
+    ``keep_last`` committed manifest versions, then delete index trees
+    referenced ONLY by the expired versions — the GC half of the
+    snapshot lifecycle (time travel shrinks to the retained window; a
+    compacted-away generation's tree is physically reclaimed here, not
+    at compaction time, so readers pinned to a retained snapshot are
+    never broken).
+
+    Returns {"expired_versions": [...], "removed_trees": [...]}.
+    Single-maintainer operation by design (like Iceberg's): run it from
+    one place; concurrent APPENDERS are safe (they only add new
+    versions, which are never expired), concurrent expirers are not.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _committed_versions(family_dir)
+    if len(versions) <= keep_last:
+        return {"expired_versions": [], "removed_trees": []}
+    expired, kept = versions[:-keep_last], versions[-keep_last:]
+
+    def _paths(vs: list[int]) -> set[str]:
+        out: set[str] = set()
+        for v in vs:
+            for r in manifest_at(spark, family_dir, v).collect():
+                out.add(r["path"])
+        return out
+
+    keep_paths = _paths(kept)
+    dead_paths = sorted(_paths(expired) - keep_paths)
+    for p in dead_paths:
+        shutil.rmtree(p, ignore_errors=True)
+    for v in expired:
+        shutil.rmtree(
+            os.path.join(_manifest_dir(family_dir), f"v={v}"),
+            ignore_errors=True,
+        )
+    return {"expired_versions": expired, "removed_trees": dead_paths}

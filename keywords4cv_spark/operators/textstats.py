@@ -193,3 +193,40 @@ def repetition_scores(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Da
             F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
         )
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy): per-doc mean token cross-
+    entropy (nats) under the corpus unigram MLE — the perplexity-proxy
+    quality signal CCNet-style pipelines filter on (a doc of rare
+    tokens scores high; boilerplate scores low). cross_entropy =
+    mean over tokens of ln(total_tokens / cf(token)).
+
+    Scale shape: one term explode feeds BOTH the frequency aggregation
+    and the per-doc join — at service scale cf(term) is the index
+    dictionary's cf column (already built), making this a dictionary
+    join + one per-doc agg; here it derives from the corpus directly so
+    the operator stands alone. The corpus-total is one scalar collect.
+    """
+    t = (
+        toks
+        if toks is not None
+        else tokenized_docs(docs, cfg).select("doc_id", "tokens")
+    )
+    terms = t.select("doc_id", F.explode("tokens").alias("term"))
+    cf = terms.groupBy("term").agg(F.count("*").cast("double").alias("cf"))
+    total = float(cf.agg(F.sum("cf")).collect()[0][0])
+    return (
+        terms.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.lit(total) / F.col("cf"))), 6
+            ).alias("cross_entropy"),
+        )
+    )

@@ -775,3 +775,48 @@ def test_manifest_time_travel(spark, docs, tmp_path):
     assert set(brute) == set(then) == set(now)
     for key in brute:
         assert brute[key][0] == then[key][0] == now[key][0], key
+
+
+def test_expire_snapshots_gc(spark, docs, tmp_path):
+    """expire_snapshots (Iceberg analog): old manifest versions drop,
+    index trees referenced only by expired versions are reclaimed,
+    retained snapshots (and the current query path) keep working."""
+    import os
+
+    from keywords4cv_spark.index.compact import compact_generations
+    from keywords4cv_spark.index.manifest import (
+        append_generation,
+        expire_snapshots,
+        load_generations,
+        manifest_at,
+        record_compaction,
+    )
+    from keywords4cv_spark.query.wand import bm25_wand_multi
+
+    fam = str(tmp_path / "family")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    g = [str(tmp_path / f"g{i}") for i in range(2)]
+    for i in (0, 1):
+        build_index(spark, halves[i], g[i], CFG, url_col="source")
+        append_generation(spark, fam, g[i])
+    compacted = str(tmp_path / "compacted")
+    compact_generations(spark, load_generations(spark, fam), compacted, CFG)
+    record_compaction(spark, fam, compacted, [0, 1])  # v=2
+    # nothing to expire when history fits the window
+    assert expire_snapshots(spark, fam, keep_last=3) == {
+        "expired_versions": [], "removed_trees": []}
+    out = expire_snapshots(spark, fam, keep_last=1)
+    assert out["expired_versions"] == [0, 1]
+    # g0/g1 only referenced by expired versions → reclaimed; compacted kept
+    assert sorted(out["removed_trees"]) == sorted(
+        os.path.abspath(p) for p in g)
+    assert not os.path.exists(g[0]) and not os.path.exists(g[1])
+    assert os.path.exists(compacted)
+    with pytest.raises(ValueError, match="no committed manifest version"):
+        manifest_at(spark, fam, 1)
+    # the retained snapshot still answers, rank-identical to brute force
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    now = _collect(bm25_wand_multi(spark, load_generations(spark, fam), CFG))
+    assert set(brute) == set(now)
+    for key in brute:
+        assert brute[key][0] == now[key][0], key
