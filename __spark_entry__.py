@@ -75,6 +75,8 @@ _GATE_PRIORITY = [
     "unigram_logprob_scores",
     "term_suggest",
     "bm25_filtered_topk",
+    "bm25_prf_topk",
+    "pmi_bigrams",
     # changed in round 4 (rewritten pruning / new init rule / oracle fix)
     "prefix_query",
     "ann_ivf_topk",

@@ -3129,3 +3129,171 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # match the index's segment layout or markers land in the wrong
     # scoring tasks
     return bm25_wand_multi(spark, [index], icfg, TOP_K, exclude=disallowed)
+
+
+# --- pseudo-relevance feedback (RM3-style) --------------------------------
+_PRF_F = 5     # feedback docs per query
+_PRF_E = 5     # expansion terms per query
+_PRF_BETA = 0.5  # feedback-term weight (exact binary fraction)
+
+
+def _prf_oracle(k1: float, b: float, k: int, f: int, e: int, beta: float) -> str:
+    def _scored(qrel: str) -> str:
+        return f"""
+  SELECT {qrel}.query_id, t.doc_id,
+         sum( {qrel}.w * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({k1} + 1.0))
+              / (t.tf + {k1} * (1.0 - {b} + {b} * dd.dl / s.avgdl)) ) AS score
+  FROM {qrel}
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY {qrel}.query_id, t.doc_id"""
+
+    return f"""
+WITH {_TF_CTES},
+{_values_queries()},
+q1 AS (SELECT query_id, term, 1.0 AS w FROM q),
+scored0 AS ({_scored("q1")}),
+top_f AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rank
+    FROM scored0) WHERE rank <= {f}),
+fb AS (
+  SELECT h.query_id, t.term, sum(t.tf) AS s
+  FROM top_f h JOIN tfs t USING (doc_id)
+  GROUP BY h.query_id, t.term),
+fbx AS (
+  SELECT fb.query_id, fb.term, fb.s FROM fb
+  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = fb.query_id AND q.term = fb.term)),
+fb_top AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, term) AS rn
+    FROM fbx) WHERE rn <= {e}),
+q2 AS (SELECT query_id, term, 1.0 AS w FROM q
+       UNION ALL SELECT query_id, term, {beta} AS w FROM fb_top),
+scored AS ({_scored("q2")}),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}"""
+
+
+@register(
+    "bm25_prf_topk",
+    _prf_oracle(CFG.k1, CFG.b, TOP_K, _PRF_F, _PRF_E, _PRF_BETA),
+)
+def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (the RM3/Rocchio shape): run the query,
+    take the top-F docs, extract the top-E non-query terms by summed tf
+    in that feedback set, and re-score with the expanded weighted term
+    set (originals at 1.0, feedback terms at β) through the SAME
+    weighted-WAND path as bm25_synonym_topk. The feedback stages are
+    all query-bounded: the hit set is F·|queries| rows (broadcast into
+    the tf join), the expansion collect is E·|queries| rows — nothing
+    feedback-related scales with the corpus; the only corpus-sized work
+    is the two WAND passes and one semi-pruned tf aggregation."""
+    from keywords4cv_spark.index.build import tokenized_docs
+
+    index, _icfg = _index_for(spark, sf_dir)
+    pairs = query_term_pairs()
+    hits = bm25_wand(spark, index, CFG, k=_PRF_F, queries=pairs).select(
+        "query_id", "doc_id"
+    )
+    terms = tokenized_docs(_docs(spark, sf_dir), CFG).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    fb = (
+        tf.join(F.broadcast(hits), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("s"))
+    )
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    fbx = fb.join(F.broadcast(qdf), ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "term")
+    fb_top = (
+        fbx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PRF_E)
+        .select("query_id", "term")
+        .collect()
+    )
+    expanded = [(q, t, 1.0) for q, t in pairs] + [
+        (int(r["query_id"]), r["term"], _PRF_BETA) for r in fb_top
+    ]
+    return bm25_wand(spark, index, CFG, TOP_K, queries=expanded)
+
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "pmi_bigrams",
+    f"""
+WITH d AS ({_EN_TOKS}),
+big0 AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d WHERE len(toks) >= 2),
+uni AS (SELECT t, CAST(count(*) AS DOUBLE) AS cu
+        FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t),
+n1 AS (SELECT sum(cu) AS n FROM uni),
+n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM big0),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM big0
+       GROUP BY bigram HAVING count(*) >= {_PMI_MIN_COUNT})
+SELECT bc.bigram, bc.n,
+       round(ln((bc.n / n2.n) / ((a.cu / n1.n) * (b.cu / n1.n))), 6) AS pmi
+FROM bc
+JOIN uni a ON a.t = string_split(bc.bigram, ' ')[1]
+JOIN uni b ON b.t = string_split(bc.bigram, ' ')[2]
+CROSS JOIN n1 CROSS JOIN n2""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of corpus
+    bigrams above a count floor — the classic phrase-quality signal the
+    reference's n-gram keyword scoring approximates with frequency
+    alone. Two hash aggregations (bigram counts, unigram counts) + two
+    scalar collects; the PMI join keys on the bigram's component
+    tokens (|V|-sized sides), nothing quadratic."""
+    from keywords4cv_spark.index.build import tokenized_docs
+
+    pos = tokenized_docs(_docs(spark, sf_dir), CFG).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = pos.select("t", F.lead("t", 1).over(w).alias("t2")).filter(
+        F.col("t2").isNotNull()
+    )
+    n2 = float(prs.count())
+    uni = pos.groupBy("t").agg(F.count("*").cast("double").alias("cu"))
+    n1 = float(pos.count())
+    big = prs.groupBy("t", "t2").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= _PMI_MIN_COUNT
+    )
+    a = uni.select("t", F.col("cu").alias("ca"))
+    b = uni.select(F.col("t").alias("t2"), F.col("cu").alias("cb"))
+    return (
+        big.join(a, "t")
+        .join(b, "t2")
+        .select(
+            F.concat_ws(" ", "t", "t2").alias("bigram"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("n") / F.lit(n2))
+                    / ((F.col("ca") / F.lit(n1)) * (F.col("cb") / F.lit(n1)))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
