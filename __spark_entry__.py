@@ -77,6 +77,7 @@ _GATE_PRIORITY = [
     "bm25_filtered_topk",
     "bm25_prf_topk",
     "pmi_bigrams",
+    "bm25_stream_indexed_topk",
     # changed in round 4 (rewritten pruning / new init rule / oracle fix)
     "prefix_query",
     "ann_ivf_topk",

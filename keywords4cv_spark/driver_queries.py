@@ -3297,3 +3297,70 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --- streaming incremental index build -------------------------------------
+_STREAM_IDX_CACHE: dict[str, tuple] = {}
+
+
+@register("bm25_stream_indexed_topk", _bm25_oracle(CFG.k1, CFG.b, TOP_K))
+def q_bm25_stream_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental indexing end-to-end — the crawl-ingest
+    pipeline: documents arrive as a file stream (one file per
+    micro-batch via maxFilesPerTrigger), each micro-batch is built into
+    its OWN index generation inside foreachBatch and committed to the
+    snapshot manifest, and retrieval merges the generations
+    rank-exactly — sharing the full-corpus BM25 oracle, the strongest
+    check that stream-built generations equal a batch build. At service
+    scale this is the Structured Streaming job that keeps a living
+    Common-Crawl index current: per-batch SPIMI build (append-only, no
+    touch of prior generations), manifest commit as the transactional
+    boundary, compaction when generations pile up (compact_generations,
+    already covered)."""
+    import shutil
+
+    from keywords4cv_spark.index.manifest import (
+        append_generation,
+        load_generations,
+    )
+
+    if sf_dir not in _STREAM_IDX_CACHE:
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+        base = os.path.join(
+            tempfile.gettempdir(), f"k4cv_index_stream_{_ENGINE_V}", tag
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        stage = os.path.join(base, "arrivals")
+        os.makedirs(stage, exist_ok=True)
+        cfg = EngineConfig(n_term_buckets=2, n_salts=4)
+        docs = _docs(spark, sf_dir)
+        # two "crawl batches": parity halves, one single-file parquet each
+        import glob as _glob
+
+        for parity in (0, 1):
+            half_dir = os.path.join(base, f"_half{parity}")
+            docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(half_dir)
+            part = _glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(stage, f"batch{parity}.parquet"))
+
+        def build_batch(batch_df, batch_id: int) -> None:
+            gen_dir = os.path.join(base, f"gen{batch_id}")
+            build_index(spark, batch_df, gen_dir, cfg, url_col="source")
+            append_generation(spark, base, gen_dir)
+
+        ckpt = os.path.join(base, "_ckpt")
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(build_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_IDX_CACHE[sf_dir] = (load_generations(spark, base), cfg)
+    gens, cfg = _STREAM_IDX_CACHE[sf_dir]
+    return bm25_wand_multi(spark, gens, cfg, TOP_K)
