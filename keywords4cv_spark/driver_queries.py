@@ -3213,11 +3213,15 @@ def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = tokenized_docs(_docs(spark, sf_dir), CFG).select(
         "doc_id", F.explode("tokens").alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # broadcast-prune to the F·|queries| hit docs BEFORE any aggregation
+    # (Catalyst pushes filters through aggregates, not joins — aggregating
+    # the full corpus tf first would be a corpus-wide shuffle for a
+    # query-bounded feedback step); each (query, doc) pair is unique in
+    # the hit set, so count(*) per (query, term) IS the summed tf
     fb = (
-        tf.join(F.broadcast(hits), "doc_id")
+        terms.join(F.broadcast(hits), "doc_id")
         .groupBy("query_id", "term")
-        .agg(F.sum("tf").alias("s"))
+        .agg(F.count("*").alias("s"))
     )
     qdf = spark.createDataFrame(pairs, "query_id long, term string")
     fbx = fb.join(F.broadcast(qdf), ["query_id", "term"], "left_anti")
@@ -3274,12 +3278,16 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     prs = pos.select("t", F.lead("t", 1).over(w).alias("t2")).filter(
         F.col("t2").isNotNull()
     )
-    n2 = float(prs.count())
+    # the scalar totals fold over the two count relations (|V|- and
+    # |bigram-vocab|-sized) instead of re-running the corpus-sized
+    # tokenize→explode lineage once per action: two corpus passes total
     uni = pos.groupBy("t").agg(F.count("*").cast("double").alias("cu"))
-    n1 = float(pos.count())
-    big = prs.groupBy("t", "t2").agg(F.count("*").alias("n")).filter(
-        F.col("n") >= _PMI_MIN_COUNT
-    )
+    uni = uni.localCheckpoint()
+    n1 = float(uni.agg(F.sum("cu")).collect()[0][0])
+    big_all = prs.groupBy("t", "t2").agg(F.count("*").alias("n"))
+    big_all = big_all.localCheckpoint()
+    n2 = float(big_all.agg(F.sum("n")).collect()[0][0])
+    big = big_all.filter(F.col("n") >= _PMI_MIN_COUNT)
     a = uni.select("t", F.col("cu").alias("ca"))
     b = uni.select(F.col("t").alias("t2"), F.col("cu").alias("cb"))
     return (

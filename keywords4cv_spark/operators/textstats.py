@@ -218,7 +218,14 @@ def unigram_logprob_scores(
         else tokenized_docs(docs, cfg).select("doc_id", "tokens")
     )
     terms = t.select("doc_id", F.explode("tokens").alias("term"))
-    cf = terms.groupBy("term").agg(F.count("*").cast("double").alias("cf"))
+    # |V|-sized, materialized once: without the checkpoint the final
+    # plan would re-run the corpus tokenize lineage inside the cf join
+    # in addition to the per-doc pass — two corpus passes total this way
+    cf = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("double").alias("cf"))
+        .localCheckpoint()
+    )
     total = float(cf.agg(F.sum("cf")).collect()[0][0])
     return (
         terms.join(cf, "term")
