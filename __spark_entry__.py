@@ -32,9 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # green from the most recent gate. The dict is the full registry either
 # way — only the iteration order changes.
 #
-# ROUND-5 NOTE: the r3-certified block that fell beyond the r4 gate
-# window will then be two rounds stale — rotate it to the FRONT of this
-# list next round and demote the r4-certified entries.
+# ROUND-5 NOTE: 39 registry entries fall beyond the r4 gate window (the
+# driver checks the first 50 of this 89-entry registry); all 39 are
+# r3-certified (green in CORRECTNESS_r03), so in round 5 they are two
+# rounds stale and form the ENTIRE r5 rotation debt — rotate them to the
+# FRONT of this list (39 + r5 additions ≤ 50) and demote the
+# r4-certified block. The 39, in current registry order:
+# bm25_recrawl_topk bm25_recrawl_purged_topk curated_corpus
+# snippet_windows map_whitelist dup_components bm25_page2_topk
+# term_dictionary doc_stats doc_lengths top_terms bigram_counts
+# keyword_summary fuzzy_resolve fuzzy_match_scores
+# abbrev_expanded_counts whitelist_hits pricing_summary
+# customer_revenue top_orders_per_customer stream_sessions_closed
+# simhash64 simhash_near_dups host_quality_rollup repetition_scores
+# bm25f_topk context_validated_semantic boolean_and_query
+# boolean_or_not_query phrase_query sanitize_docs categorize_terms
+# label_centroids returns_cube priority_rollup segment_pivot
+# phrase_query_indexed proximity_query phrase_query_compacted
 _GATE_PRIORITY = [
     # last driver-checked in r2 (rotated out of the r3 window) — the
     # entire r4 rotation debt per VERDICT r3 "What's missing #1"
