@@ -161,16 +161,16 @@ def compact_generations(
         segment = int(pdf["segment"].iloc[0])
         df_val = int(pdf["df"].iloc[0])
         docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for _, row in pdf.iterrows():
+        for payload, n, first_doc in zip(
+            pdf["payload"], pdf["n"], pdf["first_doc"]
+        ):
             if store_positions:
                 d, t, ln, pos = decode_block_positions(
-                    row["payload"], int(row["n"]), int(row["first_doc"])
+                    payload, int(n), int(first_doc)
                 )
                 pos_l.extend(pos)
             else:
-                d, t, ln = decode_block(
-                    row["payload"], int(row["n"]), int(row["first_doc"])
-                )
+                d, t, ln = decode_block(payload, int(n), int(first_doc))
             docs_l.append(d)
             tfs_l.append(t)
             dls_l.append(ln)
@@ -257,31 +257,50 @@ def _compact_purging(
     )
 
     def explode(batches):
+        # one frame per Arrow batch: per-block decodes feed
+        # np.concatenate'd columns with the (term, segment) keys
+        # np.repeat'ed by block size — no per-row loop, no per-block
+        # DataFrame construction
         for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
+            if len(pdf) == 0:
+                continue
+            decoded, pos_lists = [], []
+            for payload, n, first_doc in zip(
+                pdf["payload"], pdf["n"], pdf["first_doc"]
+            ):
                 if store_positions:
                     d, t, ln, pos = decode_block_positions(
-                        row["payload"], int(row["n"]), int(row["first_doc"])
+                        payload, int(n), int(first_doc)
                     )
+                    pos_lists.append(pos)
                 else:
-                    d, t, ln = decode_block(
-                        row["payload"], int(row["n"]), int(row["first_doc"])
-                    )
-                o = pd.DataFrame(
-                    {
-                        "term": row["term"],
-                        "segment": int(row["segment"]),
-                        "doc_id": d.astype(np.int64),
-                        "tf": t.astype(np.int64),
-                        "dl": ln.astype(np.int64),
-                    }
-                )
-                if store_positions:
-                    o["positions"] = [np.asarray(p, dtype=np.int64) for p in pos]
-                outs.append(o)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    d, t, ln = decode_block(payload, int(n), int(first_doc))
+                decoded.append((d, t, ln))
+            sizes = np.array([d.size for d, _, _ in decoded], dtype=np.int64)
+            o = pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(object), sizes),
+                    "segment": np.repeat(
+                        pdf["segment"].to_numpy(np.int64), sizes
+                    ).astype(np.int32),
+                    "doc_id": np.concatenate(
+                        [d for d, _, _ in decoded]
+                    ).astype(np.int64),
+                    "tf": np.concatenate(
+                        [t for _, t, _ in decoded]
+                    ).astype(np.int64),
+                    "dl": np.concatenate(
+                        [ln for _, _, ln in decoded]
+                    ).astype(np.int64),
+                }
+            )
+            if store_positions:
+                o["positions"] = [
+                    np.asarray(p, dtype=np.int64)
+                    for pos in pos_lists
+                    for p in pos
+                ]
+            yield o
 
     live = (
         allblocks.mapInPandas(explode, row_schema)

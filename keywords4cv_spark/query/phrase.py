@@ -76,11 +76,16 @@ def phrase_search(
         phrase = pdf["phrase"].iloc[0]
         want = n_terms_b.value[phrase]
         per_ord: dict[int, dict[int, np.ndarray]] = {}
-        for _, row in pdf.iterrows():
+        # column zip, not iterrows: each "row" is a 128-posting block,
+        # but per-row Series construction still costs; zipping the four
+        # needed columns keeps the decode loop allocation-free
+        for payload, n, first_doc, o in zip(
+            pdf["payload"], pdf["n"], pdf["first_doc"], pdf["ord"]
+        ):
             docs, _tfs, _dls, pos = decode_block_positions(
-                row["payload"], int(row["n"]), int(row["first_doc"])
+                payload, int(n), int(first_doc)
             )
-            bucket = per_ord.setdefault(int(row["ord"]), {})
+            bucket = per_ord.setdefault(int(o), {})
             for d, p in zip(docs, pos):
                 bucket[int(d)] = p
         empty = pd.DataFrame(
@@ -180,11 +185,16 @@ def proximity_search(
         phrase = pdf["phrase"].iloc[0]
         want = n_terms_b.value[phrase]
         per_ord: dict[int, dict[int, np.ndarray]] = {}
-        for _, row in pdf.iterrows():
+        # column zip, not iterrows: each "row" is a 128-posting block,
+        # but per-row Series construction still costs; zipping the four
+        # needed columns keeps the decode loop allocation-free
+        for payload, n, first_doc, o in zip(
+            pdf["payload"], pdf["n"], pdf["first_doc"], pdf["ord"]
+        ):
             docs, _tfs, _dls, pos = decode_block_positions(
-                row["payload"], int(row["n"]), int(row["first_doc"])
+                payload, int(n), int(first_doc)
             )
-            bucket = per_ord.setdefault(int(row["ord"]), {})
+            bucket = per_ord.setdefault(int(o), {})
             for d, p in zip(docs, pos):
                 bucket[int(d)] = p
         empty = pd.DataFrame(

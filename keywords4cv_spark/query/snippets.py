@@ -98,11 +98,12 @@ def snippet_windows(
         qid = int(pdf["query_id"].iloc[0])
         wanted = hits_b.value.get(qid, set())
         per_doc: dict[int, list[tuple[str, np.ndarray]]] = {}
-        for _, row in pdf.iterrows():
+        for payload, n, first_doc, term in zip(
+            pdf["payload"], pdf["n"], pdf["first_doc"], pdf["term"]
+        ):
             docs, _tfs, _dls, pos = decode_block_positions(
-                row["payload"], int(row["n"]), int(row["first_doc"])
+                payload, int(n), int(first_doc)
             )
-            term = row["term"]
             for d, p in zip(docs, pos):
                 if int(d) in wanted:
                     per_doc.setdefault(int(d), []).append((term, p))
