@@ -32,7 +32,7 @@ def _package_zip() -> str:
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for f in sorted(files):
-                if f.endswith(".py"):
+                if f.endswith((".py", ".json")):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)

@@ -19,12 +19,31 @@ from pyspark.sql import functions as F
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
 from keywords4cv_spark.index.build import tokenized_docs
 
-SYNONYMS: list[tuple[str, str]] = [
-    ("spark", "pyspark"),
-    ("merge", "combine"),
-    ("vector", "embedding"),
-    ("search", "retrieval"),
-]
+def _load_default_synonyms() -> list[tuple[str, str]]:
+    """The engine's synonym vocabulary, loaded from the packaged
+    WordNet-substitute fixture (resources/synonyms.json) through the
+    same loader shape as a user-supplied synonyms file — closing the
+    reference's WordNet-generation gap (keywords4cv.py:999-1019)
+    without the NLTK dependency: the table is FROZEN (deterministic,
+    model-drift-free) but arrives through the S3 synonym-source path
+    (sources/io.load_synonyms_rows), not inline constants. The fixture
+    covers the gate vocabulary incl. in-corpus targets (merge→join,
+    sort→order) so expansion hits real postings, and ships in the
+    executor py-files zip (deploy.py packs .json resources)."""
+    from importlib import resources
+
+    from keywords4cv_spark.sources.io import load_synonyms_rows
+
+    ref = resources.files("keywords4cv_spark").joinpath(
+        "resources/synonyms.json"
+    )
+    # as_file: a real filesystem path even when the package is imported
+    # from the py-files zip on an executor
+    with resources.as_file(ref) as p:
+        return load_synonyms_rows(str(p))
+
+
+SYNONYMS: list[tuple[str, str]] = _load_default_synonyms()
 
 # weight a query term contributed by expansion (synonym/abbreviation)
 # carries relative to a literal query term — the reference treats
@@ -81,12 +100,15 @@ def synonym_expanded_counts(
     syn = spark.createDataFrame(SYNONYMS, "term string, synonym string")
     toks = tokenized_docs(docs, cfg)
     terms = toks.select("doc_id", F.explode("tokens").alias("term"))
-    expanded = terms.join(F.broadcast(syn), "term", "left").select(
-        "doc_id", F.explode(F.array("term", "synonym")).alias("out_term")
-    ).filter(F.col("out_term").isNotNull())
-    return expanded.groupBy(F.col("out_term").alias("term")).agg(
-        F.count("*").alias("n")
+    # union-all, not left-join+array: a term with MULTIPLE synonyms must
+    # contribute its literal occurrence once, plus one per synonym
+    lits = terms.select("doc_id", F.col("term").alias("out_term"))
+    syns = terms.join(F.broadcast(syn), "term").select(
+        "doc_id", F.col("synonym").alias("out_term")
     )
+    return lits.unionByName(syns).groupBy(
+        F.col("out_term").alias("term")
+    ).agg(F.count("*").alias("n"))
 
 
 def surviving_bigrams(

@@ -14,6 +14,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def load_synonyms_rows(path: str) -> list[tuple[str, str]]:
+    """{phrase: [syn, ...]} JSON file → sorted (term, synonym) tuples.
+
+    The plain-Python half of the synonym source: the packaged
+    WordNet-substitute fixture (resources/synonyms.json) and any
+    user-supplied synonyms file load through this same shape — the
+    reference's synonyms.json contract
+    (/root/reference/keywords4cv.py:900-927)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return [
+        (str(term), str(s))
+        for term, syns in sorted(data.items())
+        for s in sorted(syns)
+    ]
+
+
 def load_synonyms_json(spark: SparkSession, path: str) -> DataFrame:
     """{phrase: [syn, ...]} JSON file → (term, synonym) rows.
 
@@ -21,16 +40,9 @@ def load_synonyms_json(spark: SparkSession, path: str) -> DataFrame:
     parallelized as a broadcast-ready DataFrame — matching the
     reference's single-file load, not a distributed JSON scan.
     """
-    import json
-
-    with open(path) as f:
-        data = json.load(f)
-    rows = [
-        (str(term), str(s))
-        for term, syns in sorted(data.items())
-        for s in syns
-    ]
-    return spark.createDataFrame(rows, "term string, synonym string")
+    return spark.createDataFrame(
+        load_synonyms_rows(path), "term string, synonym string"
+    )
 
 
 def load_job_descriptions_json(spark: SparkSession, path: str) -> DataFrame:
