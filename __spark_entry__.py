@@ -23,35 +23,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
-# Gate-priority ordering: the driver's correctness gate has checked a
+# Gate-priority ordering: the driver's correctness gate checks a
 # 50-query prefix of this registry per round, while the registry holds
 # more entries than that. Entries are therefore ordered: (1) queries
-# that have never had a driver correctness row or whose last row is a
-# round old, (2) queries whose semantics/plans changed THIS round (an
-# old green row no longer certifies them), (3) everything else, still
-# green from the most recent gate. The dict is the full registry either
-# way — only the iteration order changes.
+# whose last driver correctness row is oldest (rotation debt), (2) new
+# or semantics/plan-changed queries THIS round (an old green row no
+# longer certifies them), (3) everything else, still green from the
+# most recent gate. The dict is the full registry either way — only the
+# iteration order changes.
 #
-# ROUND-5 NOTE: 39 registry entries fall beyond the r4 gate window (the
-# driver checks the first 50 of this 89-entry registry); all 39 are
-# r3-certified (green in CORRECTNESS_r03), so in round 5 they are two
-# rounds stale and form the ENTIRE r5 rotation debt — rotate them to the
-# FRONT of this list (39 + r5 additions ≤ 50) and demote the
-# r4-certified block. The 39, in current registry order:
-# bm25_recrawl_topk bm25_recrawl_purged_topk curated_corpus
-# snippet_windows map_whitelist dup_components bm25_page2_topk
-# term_dictionary doc_stats doc_lengths top_terms bigram_counts
-# keyword_summary fuzzy_resolve fuzzy_match_scores
-# abbrev_expanded_counts whitelist_hits pricing_summary
-# customer_revenue top_orders_per_customer stream_sessions_closed
-# simhash64 simhash_near_dups host_quality_rollup repetition_scores
-# bm25f_topk context_validated_semantic boolean_and_query
-# boolean_or_not_query phrase_query sanitize_docs categorize_terms
-# label_centroids returns_cube priority_rollup segment_pivot
-# phrase_query_indexed proximity_query phrase_query_compacted
+# ROUND-6 NOTE: the r5 window re-certifies the 39 r3-certified entries,
+# the 2 new queries (term_suggest_fuzzy, bm25_quality_topk), the 8
+# r5-changed queries (blocked IVF assignment, vectorized prefix decode,
+# synonym-fixture vocabulary, purge/snippet decode rewrites) and the
+# flagship. The 41 entries AFTER the first 50 below are r4-certified —
+# one round stale after r5 — and form the ENTIRE r6 rotation debt:
+# rotate them to the front in round 6 (41 + r6 additions ≤ 50, so new
+# r6 queries must stay ≤ 9).
 _GATE_PRIORITY = [
-    # last driver-checked in r2 (rotated out of the r3 window) — the
-    # entire r4 rotation debt per VERDICT r3 "What's missing #1"
+    # --- r5 gate window (50) ---
+    "bm25_recrawl_topk",
+    "bm25_recrawl_purged_topk",
+    "curated_corpus",
+    "snippet_windows",
+    "map_whitelist",
+    "dup_components",
+    "bm25_page2_topk",
+    "term_dictionary",
+    "doc_stats",
+    "doc_lengths",
+    "top_terms",
+    "bigram_counts",
+    "keyword_summary",
+    "fuzzy_resolve",
+    "fuzzy_match_scores",
+    "abbrev_expanded_counts",
+    "whitelist_hits",
+    "pricing_summary",
+    "customer_revenue",
+    "top_orders_per_customer",
+    "stream_sessions_closed",
+    "simhash64",
+    "simhash_near_dups",
+    "host_quality_rollup",
+    "repetition_scores",
+    "bm25f_topk",
+    "context_validated_semantic",
+    "boolean_and_query",
+    "boolean_or_not_query",
+    "phrase_query",
+    "sanitize_docs",
+    "categorize_terms",
+    "label_centroids",
+    "returns_cube",
+    "priority_rollup",
+    "segment_pivot",
+    "phrase_query_indexed",
+    "proximity_query",
+    "phrase_query_compacted",
+    "term_suggest_fuzzy",
+    "bm25_quality_topk",
+    "prefix_query",
+    "ann_ivf_topk",
+    "assign_to_centroids",
+    "synonym_expanded_counts",
+    "bm25_synonym_topk",
+    "reference_scored_terms",
+    "snippet_windows_recrawl",
+    "phrase_query_recrawl",
+    "bm25_wand_topk",
+    # --- r4-certified (beyond the r5 window; r6 rotation debt) ---
     "byte_histogram",
     "context_validated_terms",
     "cosine_topk",
@@ -71,46 +112,28 @@ _GATE_PRIORITY = [
     "multimodal_meta",
     "part_supplier_volume",
     "quality_scores",
-    "reference_scored_terms",
     "running_user_totals",
     "section_stats",
     "sentence_stats",
     "simhash16",
     "supplier_balance_rollup",
     "surviving_bigrams",
-    "synonym_expanded_counts",
     "token_stats",
-    # new in round 4
-    "bm25_synonym_topk",
     "contaminated_docs",
     "curated_corpus_clean",
-    "snippet_windows_recrawl",
-    "phrase_query_recrawl",
     "unigram_logprob_scores",
     "term_suggest",
     "bm25_filtered_topk",
     "bm25_prf_topk",
     "pmi_bigrams",
     "bm25_stream_indexed_topk",
-    # changed in round 4 (rewritten pruning / new init rule / oracle fix)
-    "prefix_query",
-    "ann_ivf_topk",
-    "assign_to_centroids",
     "ann_lsh_buckets",
     "lsh_near_dup_pairs",
     "canonical_clusters",
     "stream_dedup_counts",
-    # r3-certified block (still green from the most recent gate)
-    "bm25_wand_topk",
     "bm25_topk",
     "bm25_incremental_topk",
     "bm25_compacted_topk",
-    "bm25_recrawl_topk",
-    "bm25_recrawl_purged_topk",
-    "curated_corpus",
-    "snippet_windows",
-    "map_whitelist",
-    "dup_components",
 ]
 
 
