@@ -3608,13 +3608,16 @@ def release_caches(spark: SparkSession | None = None) -> None:
         cache.clear()
     if spark is not None:
         spark.catalog.clearCache()
-        # localCheckpoint blocks free via ContextCleaner once the RDD is
-        # unreachable: drop the py4j proxies (Python GC), then nudge the
-        # JVM reference-queue processing
-        import gc
-
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        # localCheckpoint blocks are NOT cache-manager entries and the
+        # ContextCleaner only frees them after JVM GC of RDD objects the
+        # py4j bridge can keep alive indefinitely — so at this boundary
+        # the remaining persistent RDDs (all localCheckpoints: k-means
+        # centroid iterations, staged candidate sets) are unpersisted
+        # EXPLICITLY. This invalidates any DataFrame a caller still
+        # holds from an earlier registry call (a LogicalRDD cannot
+        # recompute); that is the release_caches contract — it is the
+        # end-of-tenant lifecycle, not a mid-query optimization.
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().toList().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)

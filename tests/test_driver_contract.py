@@ -80,12 +80,9 @@ def test_entry_smoke(spark):
 def test_release_caches_returns_storage_to_baseline(spark):
     """Long-session hygiene (VERDICT r4 next #8): two cache-populating
     query families through ONE session, then release_caches() — every
-    module cache empties and executor storage (cache-manager entries +
-    localCheckpointed k-means centroids) returns to the pre-populate
-    baseline once the ContextCleaner runs."""
-    import gc
-    import time
-
+    module cache empties and executor storage (cache-manager entries
+    AND localCheckpointed k-means centroids) drops to zero persistent
+    RDDs, synchronously (explicit unpersist, no GC dependence)."""
     from keywords4cv_spark import driver_queries as dq
 
     sc = spark.sparkContext
@@ -93,19 +90,13 @@ def test_release_caches_returns_storage_to_baseline(spark):
     def n_persistent() -> int:
         return sc._jsc.sc().getPersistentRDDs().size()
 
-    dq.release_caches(spark)
-    base = n_persistent()
-
     dq.QUERIES["ann_ivf_topk"](spark, SF01).count()  # localCheckpointed cents
     dq.QUERIES["bm25_wand_topk"](spark, SF01).count()  # index cache
     assert any(len(c) for c in dq._ALL_CACHES)
+    assert n_persistent() > 0  # the populated state holds storage
 
     dq.release_caches(spark)
     assert not any(len(c) for c in dq._ALL_CACHES)
-    # block release is async (ContextCleaner after JVM GC) — poll
-    deadline = time.time() + 30
-    while time.time() < deadline and n_persistent() > base:
-        gc.collect()
-        sc._jvm.System.gc()
-        time.sleep(1)
-    assert n_persistent() <= base, (n_persistent(), base)
+    # release is explicit (clearCache + unpersist of localCheckpoint
+    # leftovers) — the persistent-RDD map empties synchronously
+    assert n_persistent() == 0, n_persistent()
