@@ -36,7 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 2 new queries (term_suggest_fuzzy, bm25_quality_topk), the 8
 # r5-changed queries (blocked IVF assignment, vectorized prefix decode,
 # synonym-fixture vocabulary, purge/snippet decode rewrites) and the
-# flagship. The 41 entries AFTER the first 50 below are r4-certified —
+# flagship. The r5 SPIMI-encode cache restructure (index/build.py
+# `posted`) produces a byte-identical index — same encode groups, same
+# hash partitioning — so indexed queries outside the window stay
+# certified by their r4 rows; the build itself is gated in-window via
+# bm25_wand_topk plus the resume/plan pytests. The 41 entries AFTER the first 50 below are r4-certified —
 # one round stale after r5 — and form the ENTIRE r6 rotation debt:
 # rotate them to the front in round 6 (41 + r6 additions ≤ 50, so new
 # r6 queries must stay ≤ 9).

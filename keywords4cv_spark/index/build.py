@@ -167,6 +167,92 @@ def term_frequencies(toks: DataFrame, with_positions: bool = False) -> DataFrame
     )
 
 
+def term_frequencies_fused(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    with_positions: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """tokenize + per-doc tf in ONE Python pass — no corpus-sized shuffle.
+
+    Every (doc_id, term) group of the tf relation lives inside one
+    document row, so it is computable row-locally: the classic
+    explode + groupBy path (``term_frequencies``) shuffles the whole
+    corpus to compute an aggregate whose groups never cross input rows.
+    This mapper emits the identical relation (parity-pinned in
+    tests/test_index_bm25.py) straight out of the tokenizer's Arrow
+    batch, which (a) leaves the encode repartition as the build's ONLY
+    corpus-sized shuffle and (b) shrinks Arrow return traffic to the
+    per-doc unique (term, tf) rows instead of the full token arrays.
+    Counting is batch-vectorized (one pandas hash-groupby per Arrow
+    batch, no per-token Python).
+    """
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    if with_positions and cfg.ngram_hi != 1:
+        raise ValueError("positional tf requires unigram terms (ngram_hi == 1)")
+    if cfg.lang_filter and "lang" in docs.columns:
+        docs = docs.filter(F.col("lang") == cfg.lang_filter)
+    min_len, stop = cfg.min_token_len, cfg.stopwords
+    lo, hi = cfg.ngram_lo, cfg.ngram_hi
+    schema = "doc_id long, term string, tf long, dl int" + (
+        ", positions array<int>" if with_positions else ""
+    )
+    out_cols = ["doc_id", "term", "tf", "dl"] + (
+        ["positions"] if with_positions else []
+    )
+
+    def tf_batches(it):
+        import numpy as np
+
+        from keywords4cv_spark.textprep.normalize import generate_ngrams, tokenize
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            toks = [tokenize(t, min_len, stop) for t in pdf[text_col]]
+            dl = np.fromiter((len(t) for t in toks), dtype=np.int32, count=len(toks))
+            terms = [generate_ngrams(t, lo, hi) for t in toks] if hi > 1 else toks
+            lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.empty(total, dtype=object)
+            i = 0
+            for t in terms:
+                flat[i : i + len(t)] = t
+                i += len(t)
+            d_idx = np.repeat(np.arange(len(terms)), lens)
+            rows = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[d_idx],
+                    "term": flat,
+                    "dl": dl[d_idx],
+                }
+            )
+            # dl is functionally dependent on doc_id — riding it in the
+            # group key costs nothing and keeps it without a join
+            if with_positions:
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                rows["pos"] = (np.arange(total) - starts[d_idx]).astype("int32")
+                grp = rows.groupby(["doc_id", "term", "dl"], sort=False)["pos"]
+                agg = pd.DataFrame(
+                    {"tf": grp.size(), "positions": grp.agg(list)}
+                ).reset_index()
+            else:
+                agg = (
+                    rows.groupby(["doc_id", "term", "dl"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
+            agg["tf"] = agg["tf"].astype("int64")
+            yield agg[out_cols]
+
+    return docs.select("doc_id", text_col).mapInPandas(tf_batches, schema)
+
+
 def assign_term_ids(agg: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Add a deterministic dense ``term_id`` (1..V in term order) — parallel.
 
@@ -301,10 +387,17 @@ def build_index(
     # Caching the tokenized terms arrays as well (a second corpus-sized
     # cache) is pure memory-bus traffic that serializes the build as
     # thread count grows — docmeta/stats are recoverable from tf plus a
-    # slim column-pruned scan of the source table instead.
-    tf_df = term_frequencies(
-        tokenized_docs(docs, cfg), with_positions=cfg.store_positions
-    ).persist()
+    # slim column-pruned scan of the source table instead. With the
+    # pandas tokenizer the tf rows come out of the tokenize batch itself
+    # (term_frequencies_fused): no explode, no corpus-sized tf shuffle.
+    if cfg.tokenizer == "pandas":
+        tf_df = term_frequencies_fused(
+            docs, cfg, with_positions=cfg.store_positions
+        ).persist()
+    else:
+        tf_df = term_frequencies(
+            tokenized_docs(docs, cfg), with_positions=cfg.store_positions
+        ).persist()
     dictionary = build_dictionary(tf_df).persist()
 
     # --- postings per term bucket, with lineage + verified resume ---
@@ -317,23 +410,32 @@ def build_index(
     #
     # Join strategy: |V| is known driver-side for free (assign_term_ids
     # offsets). A broadcastable dictionary turns this into a map-side join
-    # over the CACHED tf relation — posted is then cheap to recompute per
-    # bucket job and is NOT persisted (caching it costs a third
-    # corpus-sized cache write + memory-bus pressure, measured slower).
-    # At web vocabulary (1e9 terms) the join shuffles and posted IS
-    # persisted so each bucket job reads the join output once.
+    # over the CACHED tf relation; at web vocabulary (1e9 terms) the join
+    # shuffles sort-merge instead. Either way the join output is shuffled
+    # ONCE into the (term_id, segment) encode partitioning and persisted
+    # as FIXED-WIDTH rows (the term string is dropped after the join —
+    # term_id carries it). Each bucket job then filters this cache with
+    # zero additional exchange: filter preserves the hash partitioning,
+    # so the per-bucket groupBy(term_id, segment) reuses it instead of
+    # re-scanning the string-heavy tf cache + re-probing the dictionary +
+    # re-shuffling per bucket (the r4 layout did all three n_bucket
+    # times — measured redundant DRAM traffic on a bandwidth-bound job).
     vocab_size = getattr(dictionary, "_k4cv_vocab_size", None)
     small_vocab = vocab_size is not None and vocab_size <= cfg.broadcast_vocab_limit
     dict_side = dictionary.select("term", "term_id", "df")
     if small_vocab:
         dict_side = F.broadcast(dict_side)
+    posted_cols = ["term_id", "df", "doc_id", "tf", "dl"]
+    if cfg.store_positions:
+        posted_cols.append("positions")
     posted = (
         tf_df.join(dict_side, "term")
         .withColumn("segment", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)).cast("int"))
         .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(cfg.n_term_buckets)).cast("int"))
+        .select("segment", "bucket", *posted_cols)
+        .repartition(cfg.shuffle_partitions, "term_id", "segment")
+        .persist()
     )
-    if not small_vocab:
-        posted = posted.persist()
     # order-independent content fingerprint per bucket. This is both the
     # lineage input_hash of newly built buckets AND the verification gate
     # on resume: a committed bucket is only skipped if the current input
@@ -422,9 +524,10 @@ def build_index(
 
     def encode_bucket(bucket: int) -> None:
         started = time.time()
-        part = posted.filter(F.col("bucket") == bucket)
+        # filter preserves the cached (term_id, segment) hash partitioning,
+        # so this groupBy plans with NO exchange (asserted in test_plans)
         blocks = (
-            part.repartition(cfg.shuffle_partitions, "term_id", "segment")
+            posted.filter(F.col("bucket") == bucket)
             .groupBy("term_id", "segment")
             .applyInPandas(encoder, POSTINGS_SCHEMA)
         )
@@ -480,8 +583,7 @@ def build_index(
     if staged is not None:
         staged.unpersist()
     dictionary.unpersist()
-    if not small_vocab:
-        posted.unpersist()
+    posted.unpersist()
     return load_index(spark, index_dir)
 
 

@@ -820,3 +820,53 @@ def test_expire_snapshots_gc(spark, docs, tmp_path):
     assert set(brute) == set(now)
     for key in brute:
         assert brute[key][0] == now[key][0], key
+
+
+def test_fused_tf_matches_classic_path(spark, docs):
+    """term_frequencies_fused (tokenize+count in one Arrow pass, zero
+    shuffle) must emit the exact relation the classic explode + groupBy
+    path produces — rows, dtypes, and ascending positions included."""
+    from keywords4cv_spark.index.build import (
+        term_frequencies,
+        term_frequencies_fused,
+        tokenized_docs,
+    )
+
+    for wp in (False, True):
+        cfg = EngineConfig(store_positions=wp)
+        classic = term_frequencies(tokenized_docs(docs, cfg), with_positions=wp)
+        fused = term_frequencies_fused(docs, cfg, with_positions=wp)
+        # nullability flags differ (agg outputs are non-null by
+        # construction); names + types are the contract
+        shape = lambda df: [  # noqa: E731
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ]
+        assert shape(fused) == shape(classic), (fused.schema, classic.schema)
+        n_c, n_f = classic.count(), fused.count()
+        assert n_c == n_f, (n_c, n_f)
+        assert fused.exceptAll(classic).count() == 0
+        assert classic.exceptAll(fused).count() == 0
+
+
+def test_fused_tf_has_no_shuffle(spark, docs):
+    """The fused tf plan is scan → mapInPandas: any Exchange here means
+    the row-local aggregation regressed to a corpus-sized shuffle."""
+    from keywords4cv_spark.index.build import term_frequencies_fused
+    from keywords4cv_spark.plans.inspect import explain_str, without_aqe
+
+    with without_aqe(spark):
+        plan = explain_str(term_frequencies_fused(docs, EngineConfig()), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_fused_build_fingerprint_matches_classic(spark, docs, tmp_path):
+    """Whole-corpus input_hash is computed from (term, doc_id, tf) — a
+    fused and a classic build over the same corpus must agree on it,
+    which pins the entire tf relation byte-for-byte."""
+    cfg_f = EngineConfig(n_term_buckets=2, shuffle_partitions=8, tokenizer="pandas")
+    cfg_c = EngineConfig(n_term_buckets=2, shuffle_partitions=8, tokenizer="jvm")
+    ix_f = build_index(spark, docs, str(tmp_path / "f"), cfg_f, url_col="source")
+    ix_c = build_index(spark, docs, str(tmp_path / "c"), cfg_c, url_col="source")
+    hf = int(ix_f.stats.collect()[0]["input_hash"])
+    hc = int(ix_c.stats.collect()[0]["input_hash"])
+    assert hf == hc, (hf, hc)

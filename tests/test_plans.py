@@ -238,3 +238,46 @@ def test_centroid_assignment_has_no_window_or_explosion(spark, sf_dir):
         plan_n = explain_str(dfn)
     assert "Window" not in plan_n, plan_n
     assert "CartesianProduct" not in plan_n, plan_n
+
+
+def test_bucket_encode_reuses_cached_partitioning(spark, sf_dir):
+    """The SPIMI encode cache (build_index's `posted`) is repartitioned
+    on (term_id, segment) ONCE and persisted; every per-bucket encode job
+    must plan its groupBy(term_id, segment) with NO new Exchange above
+    the cache scan — the r4 layout re-scanned the string-heavy tf cache,
+    re-probed the dictionary, and re-shuffled once per bucket (redundant
+    DRAM traffic on a bandwidth-bound build)."""
+    from keywords4cv_spark.index.build import build_dictionary, term_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with without_aqe(spark):
+        tf_df = term_frequencies(tokenized_docs(docs, CFG))
+        dictionary = build_dictionary(tf_df)
+        posted = (
+            tf_df.join(
+                F.broadcast(dictionary.select("term", "term_id", "df")), "term"
+            )
+            .withColumn("segment", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+            .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(4)).cast("int"))
+            .select("segment", "bucket", "term_id", "df", "doc_id", "tf", "dl")
+            .repartition(8, "term_id", "segment")
+            .persist()
+        )
+        try:
+            per_bucket = (
+                posted.filter(F.col("bucket") == 0)
+                .groupBy("term_id", "segment")
+                .agg(F.count("*").alias("n"))
+            )
+            plan = explain_str(per_bucket, mode="simple")
+        finally:
+            posted.unpersist()
+            staged = getattr(dictionary, "_k4cv_staged", None)
+            if staged is not None:
+                staged.unpersist()
+    # everything ABOVE the cache scan must be exchange-free; the stored
+    # cached plan (below InMemoryRelation) legitimately contains the one
+    # repartition exchange
+    above_cache = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in plan, plan
+    assert "Exchange" not in above_cache, above_cache
