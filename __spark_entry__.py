@@ -40,7 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # `posted`) produces a byte-identical index — same encode groups, same
 # hash partitioning — so indexed queries outside the window stay
 # certified by their r4 rows; the build itself is gated in-window via
-# bm25_wand_topk plus the resume/plan pytests. The 41 entries AFTER the first 50 below are r4-certified —
+# bm25_wand_topk plus the resume/plan pytests. The r5 WAND term-lookup
+# cache (IndexTables.lookup_terms) changes the query-side plan of the
+# whole WAND family; the in-window members re-certify at the r5 gate,
+# and the three out-of-window members (bm25_incremental_topk,
+# bm25_compacted_topk, bm25_stream_indexed_topk) are covered by the
+# sf0.1 value-level sweep (BENCH/sweep_sf0.1_r5.txt, 10× gate scale)
+# plus the rank-identity pytests until their r6 rotation. The 41 entries AFTER the first 50 below are r4-certified —
 # one round stale after r5 — and form the ENTIRE r6 rotation debt:
 # rotate them to the front in round 6 (41 + r6 additions ≤ 50, so new
 # r6 queries must stay ≤ 9).

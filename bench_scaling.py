@@ -39,16 +39,23 @@ def cpu_ceiling(levels=LEVELS, seconds: float = 2.0) -> float:
     IS 4×.
     """
     import multiprocessing as mp
+    import statistics
     import time as _t
 
-    rates = {}
-    for n in levels:
-        with mp.Pool(n) as p:
-            t0 = _t.time()
-            total = sum(p.map(_burn, [seconds] * n))
-            rates[n] = total / (_t.time() - t0)
+    # The ratio of two 2-second samples carried ±11% run-to-run noise
+    # into the efficiency DENOMINATOR (r5 measured 3.48×-4.32× across
+    # four runs of the same box). Interleave 3 repeats per level and
+    # take the median rate — the efficiency number is only as good as
+    # this ceiling.
+    samples: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(3):
+        for n in levels:
+            with mp.Pool(n) as p:
+                t0 = _t.time()
+                total = sum(p.map(_burn, [seconds] * n))
+                samples[n].append(total / (_t.time() - t0))
     lo, hi = levels
-    return rates[hi] / rates[lo]
+    return statistics.median(samples[hi]) / statistics.median(samples[lo])
 
 
 def _burn(seconds: float) -> int:
@@ -74,14 +81,19 @@ def membw_ceiling(levels=LEVELS, seconds: float = 2.0) -> float:
     multi-node criterion.
     """
     import multiprocessing as mp
+    import statistics
 
-    rates = {}
-    for n in levels:
-        with mp.Pool(n) as p:
-            bytes_total = sum(p.map(_copy_burn, [seconds] * n))
-            rates[n] = bytes_total / seconds
+    # median of 3 interleaved repeats per level — single samples of
+    # this ratio ranged 0.22×-2.16× across r5's runs (page-cache and
+    # NUMA placement luck); the median is the defensible denominator
+    samples: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(3):
+        for n in levels:
+            with mp.Pool(n) as p:
+                bytes_total = sum(p.map(_copy_burn, [seconds] * n))
+                samples[n].append(bytes_total / seconds)
     lo, hi = levels
-    return rates[hi] / rates[lo]
+    return statistics.median(samples[hi]) / statistics.median(samples[lo])
 
 
 def _copy_burn(seconds: float) -> int:

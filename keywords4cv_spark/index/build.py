@@ -102,6 +102,7 @@ class IndexTables:
     stats: DataFrame
     lineage: DataFrame
     _stats_row: object = None
+    _term_cache: dict | None = None
 
     def stats_row(self):
         """Collected stats row, cached — the query hot path shouldn't pay
@@ -109,6 +110,32 @@ class IndexTables:
         if self._stats_row is None:
             self._stats_row = self.stats.collect()[0]
         return self._stats_row
+
+    def lookup_terms(self, terms) -> dict[str, tuple[int, int]]:
+        """term → (term_id, df) for the requested terms, driver-cached.
+
+        The query-time dictionary probe (Lucene's in-memory term
+        dictionary, here a memoized parquet lookup): the first batch
+        that asks for a term pays one filter-pushdown scan job; every
+        later batch resolves it driver-side with ZERO Spark jobs. The
+        cache is bounded by the distinct terms actually queried against
+        this index handle (not the vocabulary), and negative results
+        are cached too so absent terms don't re-scan. An index is
+        immutable once built (generations are new handles), so entries
+        never go stale."""
+        if self._term_cache is None:
+            self._term_cache = {}
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            found = {
+                r["term"]: (int(r["term_id"]), int(r["df"]))
+                for r in self.dictionary.filter(F.col("term").isin(missing))
+                .select("term", "term_id", "df")
+                .collect()
+            }
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return {t: v for t in set(terms) if (v := self._term_cache[t]) is not None}
 
 
 def tokenized_docs(

@@ -246,17 +246,25 @@ def bm25_wand(
     pairs3 = [
         (p[0], p[1], float(p[2]) if len(p) > 2 else 1.0) for p in pairs
     ]
-    qdf = spark.createDataFrame(pairs3, "query_id long, term string, w double")
     srow = index.stats_row()
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     k1, b = cfg.k1, cfg.b
 
-    qterms = qdf.join(index.dictionary, "term").select(
-        "query_id", "term_id", "df", "w"
-    )
-    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
-    if not term_ids:
+    # driver-side memoized dictionary probe (IndexTables.lookup_terms):
+    # replaces a per-call join + distinct().collect() pair with at most
+    # one filter-pushdown job for never-seen terms — repeated batches
+    # resolve term_id/df with zero jobs, and the bucket/term_id pruning
+    # predicates below are known driver-side for free
+    lut = index.lookup_terms([t for _, t, _ in pairs3])
+    qrows = [
+        (qid, lut[t][0], lut[t][1], w) for qid, t, w in pairs3 if t in lut
+    ]
+    if not qrows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
+    qterms = spark.createDataFrame(
+        qrows, "query_id long, term_id long, df long, w double"
+    )
+    term_ids = sorted({tid for _, tid, _, _ in qrows})
 
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
@@ -353,7 +361,6 @@ def bm25_wand_multi(
 
     ensure_py_files(spark)
     pairs = queries if queries is not None else query_term_pairs()
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
 
     n_docs = 0
     sum_dl = 0
@@ -364,24 +371,30 @@ def bm25_wand_multi(
     avgdl = sum_dl / n_docs
     k1, b = cfg.k1, cfg.b
 
-    # global df per term = Σ generation df (doc spaces are disjoint)
+    # global df per term = Σ generation df (doc spaces are disjoint).
+    # Each generation's dictionary probe goes through its memoized
+    # driver-side cache (IndexTables.lookup_terms) — the old plan paid
+    # one join + distinct().collect() PER GENERATION per call
     df_total: dict[str, int] = {}
     gen_scans = []
     for g, idx in enumerate(indexes):
-        qt = qdf.join(idx.dictionary, "term").select("query_id", "term", "term_id", "df")
-        rows = qt.select("term", "term_id", "df").distinct().collect()
-        if not rows:
+        lut = idx.lookup_terms([t for _, t in pairs])
+        if not lut:
             continue
-        for r in rows:
-            df_total[r["term"]] = df_total.get(r["term"], 0) + int(r["df"])
-        term_ids = sorted({r["term_id"] for r in rows})
+        for term, (_, df_val) in lut.items():
+            df_total[term] = df_total.get(term, 0) + df_val
+        term_ids = sorted({tid for tid, _ in lut.values()})
+        qt_rows = [(qid, t, lut[t][0]) for qid, t in pairs if t in lut]
+        qt = spark.createDataFrame(
+            qt_rows, "query_id long, term string, term_id long"
+        )
         scan = idx.postings
         if "bucket" in scan.columns and "n_term_buckets" in idx.stats.columns:
             nb = int(idx.stats_row()["n_term_buckets"])
             scan = scan.filter(F.col("bucket").isin(sorted({t % nb for t in term_ids})))
         blocks = (
             scan.filter(F.col("term_id").isin(term_ids))
-            .join(F.broadcast(qt.select("query_id", "term", "term_id")), "term_id")
+            .join(F.broadcast(qt), "term_id")
             .select(
                 "query_id",
                 "term",
