@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
-from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
+from keywords4cv_spark.index.build import (
+    term_frequencies,
+    term_frequencies_fused,
+    tokenized_docs,
+)
 
 
 def windowed_term_counts(
@@ -63,10 +67,17 @@ def stage_postings_stream(
     """Start a foreachBatch query staging per-micro-batch postings."""
 
     def stage(batch_df: DataFrame, batch_id: int) -> None:
-        tf = term_frequencies(tokenized_docs(batch_df, cfg)).withColumn(
-            "batch_id", F.lit(batch_id)
+        # fused tokenize+count (index.build.term_frequencies_fused):
+        # each micro-batch stages as scan → mapInPandas → append, with
+        # no shuffle at all — the identical relation the classic
+        # explode+groupBy path produces (parity-pinned in pytest)
+        if cfg.tokenizer == "pandas":
+            tf = term_frequencies_fused(batch_df, cfg)
+        else:
+            tf = term_frequencies(tokenized_docs(batch_df, cfg))
+        tf.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            staging_dir
         )
-        tf.write.mode("append").parquet(staging_dir)
 
     return (
         stream.writeStream.foreachBatch(stage)
