@@ -3319,6 +3319,128 @@ def q_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_wand_multi(spark, [index], icfg, TOP_K, exclude=disallowed)
 
 
+# --- hybrid lexical+vector retrieval (reciprocal-rank fusion) -------------
+# Each query fuses two rankers: BM25 WAND over the text index and
+# embedding-cosine over the vector column, the probe vector keyed by
+# query_id (the more-like-this hybrid every production engine ships —
+# Elasticsearch/OpenSearch "hybrid search", Vespa rank fusion).
+_RRF_K0 = 60      # the canonical RRF constant (Cormack et al.)
+_RRF_DEPTH = 20   # candidate depth per ranker
+_RRF_PROBES_SQL = ", ".join(str(qid) for qid, _ in QUERY_SET)
+_RRF_COS_SQL = _COS_SQL.format(a="e.embedding", b="p.probe_emb")
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""
+WITH {_TF_CTES},
+{_values_queries()},
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({CFG.k1} + 1.0))
+              / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(score, 6) DESC, doc_id) AS INTEGER) AS lex_rank
+    FROM scored) WHERE lex_rank <= {_RRF_DEPTH}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding AS probe_emb FROM e
+      WHERE vec_id IN ({_RRF_PROBES_SQL})),
+cscored AS (
+  SELECT p.probe_id, e.vec_id,
+         {_RRF_COS_SQL} AS cosine
+  FROM e, p WHERE e.vec_id != p.probe_id),
+sem AS (
+  SELECT probe_id AS query_id, vec_id AS doc_id, sem_rank FROM (
+    SELECT probe_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY cosine DESC, vec_id) AS INTEGER) AS sem_rank
+    FROM cscored) WHERE sem_rank <= {_RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         round(coalesce(1.0 / ({_RRF_K0} + l.lex_rank), 0.0)
+             + coalesce(1.0 / ({_RRF_K0} + s.sem_rank), 0.0), 6) AS score
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, lex_rank, sem_rank,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM fused)
+SELECT query_id, rank, doc_id, score, lex_rank, sem_rank
+FROM ranked WHERE rank <= {TOP_K}""",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 WAND ranks and
+    embedding-cosine ranks, fused as sum(1/(K0+rank)) over the union of
+    both candidate lists (RRF, Cormack/Clarke/Buettcher SIGIR'09 — the
+    fusion rule behind Elasticsearch/OpenSearch hybrid search). The
+    probe vector for query_id q is embeddings[vec_id=q] (a fixed
+    deterministic pairing; FIXTURES.md query set). Properties worth the
+    name "hybrid": the absent-term query (qid 4) has ZERO lexical hits
+    and still returns a full semantic top-k, and docs ranked by both
+    systems outrank docs ranked by one.
+
+    Scale posture: both inputs are query-bounded — |Q|·depth rows each
+    (160 here) — so the full-outer fusion join and the final window
+    touch O(|Q|·depth) rows regardless of corpus size; the corpus-sized
+    work lives entirely inside the two first-stage rankers (WAND-pruned
+    postings; brute-force cosine here, `ann_ivf_topk`'s IVF probe as
+    the documented billion-vector swap-in). RRF needs no score
+    calibration across systems (rank-only), which is why it survives
+    distributed re-sharding: ranks are computed per query, not per
+    partition. Ties: round(rrf, 6) DESC then doc_id (engine-wide rule);
+    rank arithmetic is integer so both engines agree exactly.
+    """
+    index, _icfg = _index_for(spark, sf_dir)
+    lex = bm25_wand(spark, index, CFG, k=_RRF_DEPTH).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = similarity.cosine_topk(
+        spark, _emb(spark, sf_dir), [qid for qid, _ in QUERY_SET], k=_RRF_DEPTH
+    ).select(
+        F.col("probe_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "score",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K0) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K0) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "score",
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+
+
 # --- pseudo-relevance feedback (RM3-style) --------------------------------
 _PRF_F = 5     # feedback docs per query
 _PRF_E = 5     # expansion terms per query
