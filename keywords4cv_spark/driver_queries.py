@@ -3441,6 +3441,92 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- faceted navigation over the hit set ----------------------------------
+_FACET_DEPTH = 30  # hit-set depth the facets summarize
+
+
+@register(
+    "search_facets",
+    f"""
+WITH {_TF_CTES},
+{_values_queries()},
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({CFG.k1} + 1.0))
+              / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+hits AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY round(score, 6) DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {_FACET_DEPTH}),
+meta AS (
+  SELECT doc_id, source,
+         CASE WHEN n_chars < 200 THEN 'short'
+              WHEN n_chars < 400 THEN 'medium'
+              ELSE 'long' END AS len_bucket
+  FROM documents),
+j AS (SELECT h.query_id, m.source, m.len_bucket
+      FROM hits h JOIN meta m USING (doc_id)),
+stacked AS (
+  SELECT query_id, 'source' AS facet, source AS value FROM j
+  UNION ALL
+  SELECT query_id, 'length' AS facet, len_bucket AS value FROM j)
+SELECT query_id, facet, value, count(*) AS n_docs
+FROM stacked GROUP BY query_id, facet, value""",
+)
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over each query's hit set (Lucene faceted search):
+    for the top-``_FACET_DEPTH`` BM25 hits per query, the per-facet
+    document counts for a categorical facet (``source``) and a numeric
+    range facet (``n_chars`` bucketed short/medium/long) — the
+    "narrow your results" sidebar every search UI renders next to the
+    result list.
+
+    Scale posture: the hit set is query-bounded (|Q|·depth rows) and is
+    the BROADCAST side into the corpus metadata relation, so the facet
+    join is shuffle-free and the metadata scan reads only the three
+    facet columns (column-pruned; text/postings never touched). The
+    facet aggregation input is |Q|·depth·n_facets rows regardless of
+    corpus size. Counts are exact integers — no float parity concerns.
+    """
+    index, _icfg = _index_for(spark, sf_dir)
+    hits = bm25_wand(spark, index, CFG, k=_FACET_DEPTH).select(
+        "query_id", "doc_id"
+    )
+    meta = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+        .alias("len_bucket"),
+    )
+    joined = meta.join(F.broadcast(hits), "doc_id")
+    stacked = joined.select(
+        "query_id",
+        F.lit("source").alias("facet"),
+        F.col("source").alias("value"),
+    ).unionAll(
+        joined.select(
+            "query_id",
+            F.lit("length").alias("facet"),
+            F.col("len_bucket").alias("value"),
+        )
+    )
+    return stacked.groupBy("query_id", "facet", "value").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 # --- pseudo-relevance feedback (RM3-style) --------------------------------
 _PRF_F = 5     # feedback docs per query
 _PRF_E = 5     # expansion terms per query
