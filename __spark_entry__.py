@@ -46,12 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the three out-of-window members (bm25_incremental_topk,
 # bm25_compacted_topk, bm25_stream_indexed_topk) are covered by the
 # sf0.1 value-level sweep (BENCH/sweep_sf0.1_r5.txt, 10× gate scale)
-# plus the rank-identity pytests until their r6 rotation. The 43
+# plus the rank-identity pytests until their r6 rotation. The 44
 # entries AFTER the first 50 below (41 r4-certified, plus
-# hybrid_rrf_topk and search_facets added after the r5 window froze,
-# each pytest-pinned vs its oracle) form the ENTIRE r6 rotation debt:
-# rotate them to the front in round 6 (43 + r6 additions ≤ 50, so new
-# r6 queries must stay ≤ 7).
+# hybrid_rrf_topk, search_facets and bm25_explain added after the r5
+# window froze, each pytest-pinned vs its oracle) form the ENTIRE r6
+# rotation debt: rotate them to the front in round 6 (44 + r6
+# additions ≤ 50, so new r6 queries must stay ≤ 6).
 _GATE_PRIORITY = [
     # --- r5 gate window (50) ---
     "bm25_recrawl_topk",
@@ -149,6 +149,7 @@ _GATE_PRIORITY = [
     # --- new in r5 AFTER the gate window froze (certify in r6) ---
     "hybrid_rrf_topk",
     "search_facets",
+    "bm25_explain",
 ]
 
 

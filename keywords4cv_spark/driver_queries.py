@@ -42,7 +42,7 @@ from keywords4cv_spark.index.build import (
     tokenized_docs,
 )
 from keywords4cv_spark.oracle import tokens_sql
-from keywords4cv_spark.query.bm25 import bm25_brute_force
+from keywords4cv_spark.query.bm25 import bm25_brute_force, bm25_explain
 from keywords4cv_spark.query.fixtures import QUERY_SET, TOP_K, query_term_pairs
 from keywords4cv_spark.query.wand import bm25_wand
 
@@ -3525,6 +3525,51 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.groupBy("query_id", "facet", "value").agg(
         F.count("*").alias("n_docs")
     )
+
+
+# --- score explanation (the Lucene/Elasticsearch explain API) -------------
+
+
+@register(
+    "bm25_explain",
+    f"""
+WITH {_TF_CTES},
+{_values_queries()},
+per_term AS (
+  SELECT q.query_id, t.doc_id, q.term, t.tf, dict.df,
+         ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5)) AS idf_raw,
+         (t.tf * ({CFG.k1} + 1.0))
+           / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl)) AS tfn_raw
+  FROM q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT query_id, doc_id, sum(idf_raw * tfn_raw) AS score
+  FROM per_term GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored)
+SELECT p.query_id, r.rank, p.doc_id, p.term, p.tf, p.df,
+       round(p.idf_raw, 6) AS idf,
+       round(p.tfn_raw, 6) AS tf_norm,
+       round(p.idf_raw * p.tfn_raw, 6) AS contribution,
+       r.score
+FROM per_term p
+JOIN ranked r ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+WHERE r.rank <= {TOP_K}""",
+)
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score decomposition for the top-k hits — see
+    keywords4cv_spark/query/bm25.py:bm25_explain for semantics and
+    scale posture (output bounded by |Q|·k·|query terms|; the top-k
+    relation is broadcast back into the per-term contributions, so the
+    explain join adds no shuffle)."""
+    return bm25_explain(spark, _docs(spark, sf_dir), CFG, TOP_K)
 
 
 # --- pseudo-relevance feedback (RM3-style) --------------------------------

@@ -29,17 +29,25 @@ from keywords4cv_spark.query.fixtures import TOP_K, query_term_pairs
 SCORE_DECIMALS = 6
 
 
-def bm25_score_col(cfg: EngineConfig) -> F.Column:
-    """Per-(term, doc) BM25 contribution from columns tf, dl, df, n_docs, avgdl."""
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
+def bm25_idf_col() -> F.Column:
+    """Lucene-style BM25 idf from columns df, n_docs."""
     df_ = F.col("df").cast("double")
     n = F.col("n_docs").cast("double")
-    idf = F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
-    tf_norm = (tf * F.lit(cfg.k1 + 1.0)) / (
+    return F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
+
+
+def bm25_tf_norm_col(cfg: EngineConfig) -> F.Column:
+    """k1/b term-frequency saturation from columns tf, dl, avgdl."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    return (tf * F.lit(cfg.k1 + 1.0)) / (
         tf + F.lit(cfg.k1) * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * dl / F.col("avgdl"))
     )
-    return idf * tf_norm
+
+
+def bm25_score_col(cfg: EngineConfig) -> F.Column:
+    """Per-(term, doc) BM25 contribution from columns tf, dl, df, n_docs, avgdl."""
+    return bm25_idf_col() * bm25_tf_norm_col(cfg)
 
 
 def rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -85,6 +93,63 @@ def bm25_brute_force(
         .agg(F.sum("contrib").alias("score"))
     )
     return rank_topk(scored, k)
+
+
+def bm25_explain(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    queries: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """Score decomposition for the top-k hits (the Lucene/Elasticsearch
+    ``explain`` API): one row per (query, hit, matched term) carrying
+    tf, df, idf, the k1/b saturation factor, the term's contribution
+    (idf·tf_norm) and the hit's total score + rank — the relevance
+    debugging surface every search engine exposes next to its ranker.
+
+    Each output row is a product of scalars (no float summation), so
+    engine/oracle parity is exact after round(·, 6); the total score
+    uses the engine-wide round-then-rank rule. Scale posture: the top-k
+    relation is |Q|·k rows and is BROADCAST back into the per-term
+    contribution relation, so the explain join adds no shuffle; output
+    is bounded by |Q|·k·|query terms| regardless of corpus size.
+    """
+    toks = tokenized_docs(docs, cfg)
+    tf_df = term_frequencies(toks)
+    dict_df = tf_df.groupBy("term").agg(F.count("*").alias("df"))
+    stats = corpus_stats(toks)
+
+    pairs = queries if queries is not None else query_term_pairs()
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qterms = qdf.join(dict_df, "term")
+
+    per_term = (
+        tf_df.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", bm25_idf_col())
+        .withColumn("tf_norm", bm25_tf_norm_col(cfg))
+    )
+    topk = rank_topk(
+        per_term.groupBy("query_id", "doc_id").agg(
+            F.sum(F.col("idf") * F.col("tf_norm")).alias("score")
+        ),
+        k,
+    )
+    return per_term.join(F.broadcast(topk), ["query_id", "doc_id"]).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", SCORE_DECIMALS).alias("idf"),
+        F.round("tf_norm", SCORE_DECIMALS).alias("tf_norm"),
+        F.round(F.col("idf") * F.col("tf_norm"), SCORE_DECIMALS).alias(
+            "contribution"
+        ),
+        "score",
+    )
 
 
 # BM25F field weights. Deliberately NOT the section-scoring weights
