@@ -42,7 +42,12 @@ from keywords4cv_spark.index.build import (
     tokenized_docs,
 )
 from keywords4cv_spark.oracle import tokens_sql
-from keywords4cv_spark.query.bm25 import bm25_brute_force, bm25_explain
+from keywords4cv_spark.query.bm25 import (
+    bm25_brute_force,
+    bm25_collapse,
+    bm25_explain,
+    more_like_this,
+)
 from keywords4cv_spark.query.fixtures import QUERY_SET, TOP_K, query_term_pairs
 from keywords4cv_spark.query.wand import bm25_wand
 
@@ -3570,6 +3575,100 @@ def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is broadcast back into the per-term contributions, so the
     explain join adds no shuffle)."""
     return bm25_explain(spark, _docs(spark, sf_dir), CFG, TOP_K)
+
+
+# --- more-like-this (Lucene MLT) ------------------------------------------
+_MLT_PROBES = 5   # probe documents (lowest doc_ids, deterministic)
+_MLT_TERMS = 10   # characteristic terms per probe (Lucene maxQueryTerms)
+
+
+@register(
+    "mlt_topk",
+    f"""
+WITH {_TF_CTES},
+probes AS (SELECT doc_id AS query_id FROM dd ORDER BY doc_id LIMIT {_MLT_PROBES}),
+ptf AS (
+  SELECT p.query_id, t.term, dict.df,
+         t.tf * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5)) AS tfidf
+  FROM probes p
+  JOIN tfs t ON t.doc_id = p.query_id
+  JOIN dict USING (term)
+  CROSS JOIN stats s),
+sel AS (
+  SELECT query_id, term, df FROM (
+    SELECT query_id, term, df,
+           row_number() OVER (PARTITION BY query_id
+              ORDER BY round(tfidf, 6) DESC, term) AS rn
+    FROM ptf) WHERE rn <= {_MLT_TERMS}),
+scored AS (
+  SELECT sel.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - sel.df + 0.5) / (sel.df + 0.5))
+              * (t.tf * ({CFG.k1} + 1.0))
+              / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl)) ) AS score
+  FROM sel
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.doc_id != sel.query_id
+  GROUP BY sel.query_id, t.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}""",
+)
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval — see
+    keywords4cv_spark/query/bm25.py:more_like_this (probe-bounded term
+    selection by tf·idf, then one broadcast-joined BM25 pass over the
+    tf relation; the probe doc itself is excluded from its hit list)."""
+    return more_like_this(
+        spark, _docs(spark, sf_dir), CFG, TOP_K, _MLT_PROBES, _MLT_TERMS
+    )
+
+
+# --- field collapsing (the Elasticsearch collapse API) --------------------
+
+
+@register(
+    "bm25_collapsed_topk",
+    f"""
+WITH {_TF_CTES},
+{_values_queries()},
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         round(sum( ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({CFG.k1} + 1.0))
+              / (t.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dd.dl / s.avgdl)) ), 6) AS score
+  FROM q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id),
+best AS (
+  SELECT query_id, doc_id, source, score FROM (
+    SELECT s.query_id, s.doc_id, m.source, s.score,
+           row_number() OVER (PARTITION BY s.query_id, m.source
+              ORDER BY s.score DESC, s.doc_id) AS rn
+    FROM scored s JOIN documents m USING (doc_id)) WHERE rn = 1),
+ranked AS (
+  SELECT query_id, doc_id, source, score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM best)
+SELECT query_id, rank, doc_id, source, score
+FROM ranked WHERE rank <= {TOP_K}""",
+)
+def q_bm25_collapsed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed retrieval: at most one hit per (query, source)
+    — see keywords4cv_spark/query/bm25.py:bm25_collapse (exact
+    collapse over the full scored stream via a (query, key)-partitioned
+    window, then the usual top-k)."""
+    return bm25_collapse(spark, _docs(spark, sf_dir), CFG, TOP_K, "source")
 
 
 # --- pseudo-relevance feedback (RM3-style) --------------------------------
