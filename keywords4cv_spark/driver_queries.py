@@ -3671,6 +3671,67 @@ def q_bm25_collapsed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_collapse(spark, _docs(spark, sf_dir), CFG, TOP_K, "source")
 
 
+# --- index observability (the Elasticsearch _cat/segments analog) --------
+
+
+@register(
+    "index_segment_stats",
+    # 4 = _index_for's n_salts, 128.0 = EngineConfig.block_size — the
+    # oracle recomputes the physical layout from first principles.
+    f"""
+WITH {_TF_CTES},
+seg AS (SELECT doc_id % 4 AS segment, term, doc_id, tf FROM tfs),
+per_ts AS (SELECT segment, term, count(*) AS cnt FROM seg GROUP BY segment, term),
+blocks AS (SELECT segment, CAST(sum(CAST(ceil(cnt / 128.0) AS BIGINT)) AS BIGINT) AS n_blocks
+           FROM per_ts GROUP BY segment),
+base AS (
+  SELECT segment,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(max(tf) AS INTEGER) AS max_tf
+  FROM seg GROUP BY segment),
+segdocs AS (
+  SELECT doc_id % 4 AS segment, CAST(count(*) AS BIGINT) AS n_docs
+  FROM dd GROUP BY 1)
+SELECT CAST(b.segment AS INTEGER) AS segment, d.n_docs, b.n_terms,
+       bl.n_blocks, b.n_postings, b.max_tf
+FROM base b
+JOIN blocks bl USING (segment)
+JOIN segdocs d USING (segment)""",
+)
+def q_index_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment physical-index statistics read from the COMMITTED
+    index tables (docs, distinct terms, encoded blocks, postings,
+    max tf) — the observability surface next to ES ``_cat/segments``.
+    The oracle recomputes every number from the raw documents and the
+    declared layout rules (segment = doc_id % n_salts, blocks =
+    ceil(postings-per-(term,segment) / block_size)), so this gate
+    value-checks the physical layout itself: a mis-banded doc, a lost
+    posting or a mis-sized encode block shows up as a diff here.
+
+    Scale posture: one groupBy over the postings BLOCK relation
+    (postings/128 rows) plus a metadata-only docmeta agg — no payload
+    decode, no text scan; output is n_salts rows.
+    """
+    index, icfg = _index_for(spark, sf_dir)
+    seg_docs = (
+        index.docmeta.select(
+            F.pmod(F.col("doc_id"), F.lit(icfg.n_salts)).cast("int").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    seg_post = index.postings.groupBy("segment").agg(
+        F.count_distinct("term_id").alias("n_terms"),
+        F.count("*").alias("n_blocks"),
+        F.sum("n").alias("n_postings"),
+        F.max("max_tf").alias("max_tf"),
+    )
+    return seg_docs.join(seg_post, "segment").select(
+        "segment", "n_docs", "n_terms", "n_blocks", "n_postings", "max_tf"
+    )
+
+
 # --- pseudo-relevance feedback (RM3-style) --------------------------------
 _PRF_F = 5     # feedback docs per query
 _PRF_E = 5     # expansion terms per query
