@@ -39,6 +39,15 @@ STRESS_QUERIES: list[tuple[str, int]] = [
     ("phrase_query_indexed", 10),
     ("curated_corpus_clean", 4),
     ("dup_components", 4),
+    # round-5 late additions (search-engine surface); hybrid_rrf_topk is
+    # excluded only because the amplified corpus has no embeddings table
+    # — its two component rankers are each stressed here and in the
+    # sf0.1 sweep.
+    ("mlt_topk", 10),
+    ("bm25_collapsed_topk", 10),
+    ("bm25_explain", 10),
+    ("search_facets", 10),
+    ("index_segment_stats", 10),
 ]
 ROWS_ONLY_AT_FULL = ["curated_corpus_clean", "dup_components"]
 
@@ -128,7 +137,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: run just these and MERGE "
+        "into the existing BENCH/stress_sf1_r{round}.json record "
+        "(skips the rows-only full-scale pass unless listed)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     import sys
     import tempfile
@@ -146,10 +163,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    stress_queries = [
+        (n, c) for n, c in STRESS_QUERIES if only is None or n in only
+    ]
+    rows_only_at_full = [
+        n for n in ROWS_ONLY_AT_FULL if only is None or n in only
+    ]
+
     dirs: dict[int, str] = {}
     cons: dict[int, object] = {}
     n_docs: dict[int, int] = {}
-    for copies in sorted({c for _, c in STRESS_QUERIES}):
+    for copies in sorted({c for _, c in stress_queries} | {10}):
         d = os.path.join(tempfile.gettempdir(), f"k4cv_stress_sf1_x{copies}")
         ensure_corpus(spark, d, copies)
         dirs[copies] = d
@@ -163,7 +187,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     fails: list[str] = []
-    for name, copies in STRESS_QUERIES:
+    for name, copies in stress_queries:
         t0 = time.perf_counter()
         got = QUERIES[name](spark, dirs[copies]).toPandas()
         spark_sec = time.perf_counter() - t0
@@ -188,7 +212,7 @@ def main() -> None:
 
     # engine-only pass at full scale for the oracle-capped queries
     full = max(dirs)
-    for name in ROWS_ONLY_AT_FULL:
+    for name in rows_only_at_full:
         t0 = time.perf_counter()
         rows = QUERIES[name](spark, dirs[full]).count()
         results[f"{name}@full"] = {
@@ -218,6 +242,16 @@ def main() -> None:
         "BENCH",
         f"stress_sf1_r{args.round}.json",
     )
+    if only is not None and os.path.exists(dest):
+        with open(dest) as f:
+            prev = json.load(f)
+        prev["queries"].update(out["queries"])
+        prev["postings_skew"] = out["postings_skew"]
+        prev["fails"] = sorted(
+            set(prev.get("fails", [])) - {n for n, _ in stress_queries}
+            | set(fails)
+        )
+        out = prev
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
