@@ -1333,6 +1333,49 @@ def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_histogram(_docs(spark, sf_dir))
 
 
+@register(
+    "image_decode_stats",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 8) AS h,
+         8 + ((doc_id * 3) % 8) AS w
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.h, d.w, y.y, x.x
+  FROM dims d, range(0, 16) y(y), range(0, 16) x(x)
+  WHERE y.y < d.h AND x.x < d.w
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INTEGER) AS width,
+       CAST(MAX(h) AS INTEGER) AS height,
+       round(avg((doc_id * 31 + y * 7 + x * 13) % 256), 6) AS mean_r,
+       round(avg((doc_id * 31 + y * 7 + x * 13 + 97) % 256), 6) AS mean_g,
+       round(avg((doc_id * 31 + y * 7 + x * 13 + 194) % 256), 6) AS mean_b
+FROM px
+GROUP BY doc_id""",
+)
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image decode, value-certified end-to-end: per doc a
+    REAL 24-bit BMP is encoded executor-side (deterministic synthetic
+    pixels), parsed back by the pure-numpy decoder, and reduced to
+    dimensions + per-channel means — the oracle recomputes the same
+    statistics in closed form over the pixel grid, so a single byte
+    mis-parsed anywhere in the container round-trip flips the hash.
+    One mapInPandas chain, no shuffle; the thumbnail fingerprint
+    (resized_md5, not SQL-expressible) stays pytest-pinned in
+    tests/test_operators.py."""
+    stats = multimodal.image_stats(_docs(spark, sf_dir))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 from keywords4cv_spark.operators import canonicalize  # noqa: E402
 
 # cache key carries a fingerprint of the plane-sign rule: the fixture

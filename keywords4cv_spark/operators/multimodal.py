@@ -1,26 +1,40 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through Spark as `binary` columns with struct
-metadata; the Spark-side machinery (schema, Arrow batch shape,
-mapInPandas signature, partitioning) is real and tested — only the
-codec itself is stubbed, because no image/audio library ships in this
-container:
+metadata, exactly as a 100 TB multimodal corpus would store them. No
+image/audio library ships in this container, so the codecs implemented
+here are ones that need none:
+
+- BMP (24-bit uncompressed, BITMAPINFOHEADER) encode + decode in pure
+  numpy — a real, byte-level container format, round-trip tested
+- binary PPM (P6) decode — the other lib-free raster format
+- resize (nearest-neighbor + integer-factor mean-pool) in numpy
+- a length-prefixed frame container (magic ``K4CV``) standing in for a
+  video file: encode packs per-frame BMPs, ``sample_frames`` parses the
+  header and strides through frames without materializing the rest
+
+Formats that genuinely require an external codec (PNG/JPEG/MP4) are
+dispatched to PIL when it exists and rejected with a clear error when
+it does not — the Spark-side machinery (binary columns, Arrow batch
+shape, mapInPandas signatures, partitioning) is identical either way:
 
 - payload_metadata: mapInPandas over binary batches → byte length,
   md5, deterministic fake dimensions (the shape a real EXIF/probe
   pass would return)
 - byte_histogram: 8-bin byte-value histogram per payload (numpy over
   Arrow buffers — the template for feature extraction)
-- decode_image / sample_frames: the real codecs, stubbed behind
-  import-try + NotImplementedError as the task mandates
+- image_stats / video_frame_stats: full decode path distributed over
+  mapInPandas — synthesize a deterministic BMP / frame-container
+  payload per doc, decode it, emit typed per-image / per-frame rows
 
-At sandbox scale the payload is the utf-8 encoding of the text column
-(deterministic fake); on a real corpus it's the html/media bytes.
+At sandbox scale payloads are synthesized deterministically from
+doc_id (no external data); on a real corpus they are the media bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,6 +46,11 @@ META_SCHEMA = (
     "doc_id long, n_bytes long, payload_md5 string, fake_width int, fake_height int"
 )
 HIST_SCHEMA = "doc_id long, " + ", ".join(f"bin{i} long" for i in range(8))
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, resized_md5 string"
+)
+FRAME_STATS_SCHEMA = "doc_id long, frame_idx int, width int, height int, mean_px double"
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -78,21 +97,255 @@ def byte_histogram(docs: DataFrame, n_bins: int = 8) -> DataFrame:
     return with_payload(docs).mapInPandas(hist, HIST_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real image decode (PIL absent from this container)."""
+# --------------------------------------------------------------------------
+# Real lib-free codecs: 24-bit BMP and binary PPM
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP.
+
+    Standard BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, each
+    row padded to a 4-byte boundary, BGR byte order — byte-compatible
+    with any BMP reader.
+    """
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # bottom-up scanlines, BGR channel order
+    bgr = arr[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    pixel_data = rows.tobytes()
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixel_data
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    data_offset, header_size = struct.unpack_from("<I I", payload, 10)
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    w, h, _planes, bpp, compression = struct.unpack_from("<iiHHI", payload, 18)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_stride, offset=data_offset
+    ).reshape(h, row_stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # P6 header: magic, whitespace/comments, width, height, maxval, 1 ws byte
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    return np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+
+    BMP (24-bit uncompressed) and binary PPM (P6) decode in pure numpy
+    — no library needed. Other formats (PNG/JPEG/…) dispatch to PIL
+    when present; absent, they raise NotImplementedError naming the
+    missing codec, so callers can distinguish "bad bytes" (ValueError)
+    from "codec not shipped" (NotImplementedError).
+    """
+    b = bytes(payload or b"")
+    if len(b) < 16:
+        raise ValueError(f"payload too short to be an image ({len(b)} bytes)")
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:  # pragma: no cover - import gate
         raise NotImplementedError(
-            "image decode requires PIL; container ships none — the Spark "
-            "plumbing (binary column, mapInPandas batch shape) is what's "
-            "under test here"
+            f"payload magic {b[:4]!r} needs an external codec (PIL); this "
+            "container ships none — encode BMP/PPM for the lib-free path"
         ) from exc
-    raise NotImplementedError("wire PIL decode here when the lib exists")
+    import io  # pragma: no cover - exercised only when PIL exists
+
+    return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))  # pragma: no cover
 
 
-def sample_frames(payload: bytes, every: int = 1024) -> list[bytes]:
-    """STUB-grade frame sampler: fixed-stride byte slices standing in for
-    video frame extraction (deterministic; real codec absent)."""
+def resize_image(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize to (out_h, out_w, 3)."""
+    arr = np.asarray(rgb)
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+def mean_pool(rgb: np.ndarray, factor: int) -> np.ndarray:
+    """Integer-factor mean-pool downscale (the thumbnailing kernel)."""
+    arr = np.asarray(rgb, dtype=np.float64)
+    h, w = arr.shape[:2]
+    h2, w2 = h // factor, w // factor
+    arr = arr[: h2 * factor, : w2 * factor]
+    pooled = arr.reshape(h2, factor, w2, factor, -1).mean(axis=(1, 3))
+    return pooled.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Frame container (video stand-in): magic + length-prefixed BMP frames
+# --------------------------------------------------------------------------
+
+_FRAME_MAGIC = b"K4CV"
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Pack RGB frames as length-prefixed BMPs under a ``K4CV`` header."""
+    blobs = [encode_bmp(f) for f in frames]
+    out = [_FRAME_MAGIC, struct.pack("<I", len(blobs))]
+    for blob in blobs:
+        out.append(struct.pack("<I", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def sample_frames(payload: bytes, every: int = 2) -> list[np.ndarray]:
+    """Decode every ``every``-th frame from a ``K4CV`` container.
+
+    Walks the length-prefix index and decodes ONLY the sampled frames —
+    the skip path never touches skipped pixel bytes, which is the
+    access pattern a real seekable video container gives you.
+    """
     b = bytes(payload or b"")
-    return [b[i : i + 16] for i in range(0, len(b), every)]
+    if b[:4] != _FRAME_MAGIC:
+        raise ValueError(f"not a {_FRAME_MAGIC!r} frame container")
+    (n_frames,) = struct.unpack_from("<I", b, 4)
+    pos, out = 8, []
+    for idx in range(n_frames):
+        (blob_len,) = struct.unpack_from("<I", b, pos)
+        pos += 4
+        if idx % every == 0:
+            out.append(decode_image(b[pos : pos + blob_len]))
+        pos += blob_len
+    return out
+
+
+# --------------------------------------------------------------------------
+# Distributed decode paths (mapInPandas over Arrow batches)
+# --------------------------------------------------------------------------
+
+
+def synth_image(doc_id: int) -> np.ndarray:
+    """Deterministic per-doc RGB test pattern (no external data)."""
+    h = 8 + (doc_id % 8)
+    w = 8 + ((doc_id * 3) % 8)
+    y, x = np.mgrid[0:h, 0:w]
+    c = np.arange(3)[None, None, :]
+    return ((doc_id * 31 + y[..., None] * 7 + x[..., None] * 13 + c * 97) % 256).astype(
+        np.uint8
+    )
+
+
+def image_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with a real BMP per doc, built executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_bmp(synth_image(int(d))) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+
+
+def image_stats(docs: DataFrame, thumb: int = 4) -> DataFrame:
+    """Decode → per-channel means + thumbnail fingerprint, distributed.
+
+    The full decode/resize pipeline a training-data curation pass runs:
+    parse the container bytes, compute channel statistics, mean-pool a
+    ``thumb``×``thumb`` thumbnail and fingerprint it (the dedup key for
+    near-identical images). One mapInPandas, no shuffle.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(payload)
+                h, w = img.shape[:2]
+                means = img.reshape(-1, 3).mean(axis=0)
+                tiny = resize_image(img, thumb, thumb)
+                rows.append(
+                    [
+                        int(doc_id),
+                        int(w),
+                        int(h),
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        hashlib.md5(tiny.tobytes()).hexdigest(),
+                    ]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "resized_md5",
+                ],
+            )
+
+    return image_payloads(docs).mapInPandas(stats, IMAGE_STATS_SCHEMA)
+
+
+def video_frame_stats(docs: DataFrame, n_frames: int = 6, every: int = 2) -> DataFrame:
+    """Frame-sample a per-doc synthetic container, one row per kept frame."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                payload = encode_video(
+                    [synth_image(did * n_frames + i) for i in range(n_frames)]
+                )
+                for idx, frame in enumerate(sample_frames(payload, every=every)):
+                    h, w = frame.shape[:2]
+                    rows.append([did, idx, int(w), int(h), float(frame.mean())])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height", "mean_px"]
+            )
+
+    return docs.select("doc_id").mapInPandas(stats, FRAME_STATS_SCHEMA)

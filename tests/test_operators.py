@@ -71,16 +71,68 @@ def test_payload_metadata_md5(spark, docs):
         assert got[r.doc_id] == (len(raw), hashlib.md5(raw).hexdigest())
 
 
-def test_decode_image_stub_gated():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG fake")
+def test_bmp_round_trip_exact():
+    img = multimodal.synth_image(42)
+    assert multimodal.decode_image(multimodal.encode_bmp(img)).tolist() == img.tolist()
+    # odd widths exercise the 4-byte row padding
+    odd = img[:, :5]
+    assert multimodal.decode_image(multimodal.encode_bmp(odd)).tolist() == odd.tolist()
+
+
+def test_ppm_decode_matches_raw():
+    img = multimodal.synth_image(7)
+    h, w = img.shape[:2]
+    ppm = b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+    assert multimodal.decode_image(ppm).tolist() == img.tolist()
+
+
+def test_decode_image_unknown_magic_gated():
+    with pytest.raises((NotImplementedError, Exception)):
+        multimodal.decode_image(b"\x89PNG fake but long enough to parse")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"short")
+
+
+def test_resize_and_mean_pool():
+    img = multimodal.synth_image(3)
+    small = multimodal.resize_image(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    pooled = multimodal.mean_pool(img, 2)
+    assert pooled.shape == (img.shape[0] // 2, img.shape[1] // 2, 3)
+    assert pooled[0, 0, 0] == int(img[:2, :2, 0].astype(float).mean())
 
 
 def test_sample_frames_deterministic():
-    payload = bytes(range(256)) * 20
-    a = multimodal.sample_frames(payload)
-    assert a == multimodal.sample_frames(payload)
-    assert all(len(f) <= 16 for f in a) and len(a) == 5
+    frames = [multimodal.synth_image(i) for i in range(6)]
+    payload = multimodal.encode_video(frames)
+    kept = multimodal.sample_frames(payload, every=2)
+    assert len(kept) == 3
+    for got, want in zip(kept, frames[::2]):
+        assert got.tolist() == want.tolist()
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(b"not a container")
+
+
+def test_image_stats_distributed(spark, docs):
+    got = {r.doc_id: r for r in multimodal.image_stats(docs.limit(12)).collect()}
+    for doc_id, row in got.items():
+        img = multimodal.synth_image(doc_id)
+        assert (row.height, row.width) == img.shape[:2]
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert abs(row.mean_r - means[0]) < 1e-9
+        tiny = multimodal.resize_image(img, 4, 4)
+        assert row.resized_md5 == hashlib.md5(tiny.tobytes()).hexdigest()
+
+
+def test_video_frame_stats_distributed(spark, docs):
+    rows = multimodal.video_frame_stats(docs.limit(5), n_frames=6, every=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == 3  # every 2nd of 6
+        first = multimodal.synth_image(doc_id * 6)
+        assert abs(frames[0].mean_px - first.mean()) < 1e-9
 
 
 def test_dbscan_numpy_basic():
