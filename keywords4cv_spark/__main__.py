@@ -2,6 +2,7 @@
 run (/root/reference/keywords4cv.py:3227-3260 parse_arguments + main)
 re-expressed over the Spark engine:
 
+    python -m keywords4cv_spark -i job_descriptions.json -o results.xlsx
     python -m keywords4cv_spark -i job_descriptions.json -o results_dir
     python -m keywords4cv_spark -i s3://bucket/docs.parquet -o out
 
@@ -12,7 +13,9 @@ Pipeline (the reference's analyze-and-save flow):
     applied)
   → per-(doc, term) detail scores (the reference's 'Detailed Scores'
     sheet)
-  → two-sheet parquet sink (S8 analog) + JSONL summary (S9)
+  → result sink: a real two-sheet .xlsx (Summary, Detailed Scores —
+    the reference's S8 contract, stdlib OOXML writer) when -o ends in
+    .xlsx, else two-sheet parquet + JSONL summary (S8/S9 data sinks)
   → HTML/JSON metrics report (S10) with extraction P/R/F1 (A7)
 
 Prints one JSON status line (paths + headline counts).
@@ -67,19 +70,27 @@ def main(argv: list[str] | None = None) -> int:
 
     summary = keyword_summary(spark, docs, cfg).persist()
     details = scored_postings(spark, docs, cfg)
-    os.makedirs(args.output, exist_ok=True)
-    summary_and_details(summary, details, os.path.join(args.output, "results"))
-    save_results_jsonl(summary, os.path.join(args.output, "summary_jsonl"))
+    if args.output.endswith(".xlsx"):
+        # the reference's exact run shape: one workbook, atomic write
+        from keywords4cv_spark.sources.xlsx import save_results_xlsx
+
+        save_results_xlsx(summary, details, args.output)
+        results_path = args.output
+        report_dir = os.path.splitext(args.output)[0] + "_report"
+    else:
+        os.makedirs(args.output, exist_ok=True)
+        summary_and_details(summary, details, os.path.join(args.output, "results"))
+        save_results_jsonl(summary, os.path.join(args.output, "summary_jsonl"))
+        results_path = os.path.join(args.output, "results")
+        report_dir = os.path.join(args.output, "report")
 
     met_row = extraction_metrics(spark, docs, cfg).collect()[0].asDict()
-    html = write_metrics_report(
-        os.path.join(args.output, "report"), "cli-run", summary, metrics=met_row
-    )
+    html = write_metrics_report(report_dir, "cli-run", summary, metrics=met_row)
     status = {
         "input": args.input,
         "n_docs": docs.count(),
         "n_keywords": summary.count(),
-        "results": os.path.join(args.output, "results"),
+        "results": results_path,
         "report": html,
         "precision": met_row["precision"],
         "recall": met_row["recall"],

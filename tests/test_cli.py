@@ -52,3 +52,29 @@ def test_cli_end_to_end(tmp_path):
         ).fetchall()
     }
     assert {"spark", "merge", "table"} <= terms
+
+
+def test_cli_xlsx_output(tmp_path):
+    inp = tmp_path / "jobs.json"
+    inp.write_text(json.dumps(JOBS))
+    out = tmp_path / "results.xlsx"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="2g")
+    r = subprocess.run(
+        [sys.executable, "-m", "keywords4cv_spark", "-i", str(inp), "-o", str(out)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    status = json.loads(r.stdout.strip().splitlines()[-1])
+    assert status["results"] == str(out)
+
+    from keywords4cv_spark.sources.xlsx import read_xlsx
+
+    sheets = read_xlsx(str(out))
+    assert list(sheets) == ["Summary", "Detailed Scores"]
+    assert len(sheets["Summary"]) == status["n_keywords"]
+    assert {"spark", "merge", "table"} <= set(sheets["Summary"]["term"])
+    assert {"doc_id", "term"} <= set(sheets["Detailed Scores"].columns)
