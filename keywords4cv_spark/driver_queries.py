@@ -1376,6 +1376,57 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_decode_stats",
+    """
+WITH par AS (
+  SELECT doc_id,
+         200 + (doc_id % 100) AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents
+), samp AS (
+  SELECT p.doc_id, p.n, p.rate, i.i,
+         ((p.doc_id * 7919 + i.i * 4021) % 65536) - 32768 AS x
+  FROM par p, range(0, 300) i(i)
+  WHERE i.i < p.n
+), samp2 AS (
+  SELECT doc_id, n, rate, x,
+         lead(x) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+  FROM samp
+)
+SELECT doc_id,
+       CAST(MAX(n) AS INTEGER) AS n_samples,
+       CAST(MAX(rate) AS INTEGER) AS sample_rate,
+       round(MAX(n) * 1000.0 / MAX(rate), 6) AS duration_ms,
+       round(CAST(SUM(x) AS DOUBLE) / MAX(n), 6) AS mean_amp,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+       CAST(COALESCE(SUM(CASE WHEN x * nx < 0 THEN 1 ELSE 0 END), 0) AS INTEGER)
+         AS zero_crossings
+FROM samp2
+GROUP BY doc_id""",
+)
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed audio decode, value-certified end-to-end: per doc a
+    REAL RIFF/WAVE PCM16 file is encoded executor-side (closed-form
+    synthetic waveform), parsed back by the chunk-walking decoder, and
+    reduced to duration / mean amplitude / energy / zero crossings —
+    the oracle recomputes every sample in SQL, so one mis-parsed byte
+    anywhere in the RIFF round-trip flips the hash. Energy is an exact
+    integer (sum of squares) and the two doubles are single divisions,
+    avoiding float-accumulation drift between numpy and DuckDB. One
+    mapInPandas, no shuffle."""
+    stats = multimodal.audio_stats(_docs(spark, sf_dir))
+    return stats.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        "sum_sq",
+        "zero_crossings",
+    )
+
+
 from keywords4cv_spark.operators import canonicalize  # noqa: E402
 
 # cache key carries a fingerprint of the plane-sign rule: the fixture

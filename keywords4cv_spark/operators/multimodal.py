@@ -8,6 +8,8 @@ here are ones that need none:
 - BMP (24-bit uncompressed, BITMAPINFOHEADER) encode + decode in pure
   numpy — a real, byte-level container format, round-trip tested
 - binary PPM (P6) decode — the other lib-free raster format
+- WAV (RIFF PCM16) encode + decode — a real chunk-walking parser
+  (fmt /data discovery, odd-size pad bytes), pure struct + numpy
 - resize (nearest-neighbor + integer-factor mean-pool) in numpy
 - a length-prefixed frame container (magic ``K4CV``) standing in for a
   video file: encode packs per-frame BMPs, ``sample_frames`` parses the
@@ -23,9 +25,9 @@ shape, mapInPandas signatures, partitioning) is identical either way:
   pass would return)
 - byte_histogram: 8-bin byte-value histogram per payload (numpy over
   Arrow buffers — the template for feature extraction)
-- image_stats / video_frame_stats: full decode path distributed over
-  mapInPandas — synthesize a deterministic BMP / frame-container
-  payload per doc, decode it, emit typed per-image / per-frame rows
+- image_stats / video_frame_stats / audio_stats: full decode paths
+  distributed over mapInPandas — synthesize a deterministic BMP /
+  frame-container / WAV payload per doc, decode it, emit typed rows
 
 At sandbox scale payloads are synthesized deterministically from
 doc_id (no external data); on a real corpus they are the media bytes.
@@ -51,6 +53,10 @@ IMAGE_STATS_SCHEMA = (
     "mean_r double, mean_g double, mean_b double, resized_md5 string"
 )
 FRAME_STATS_SCHEMA = "doc_id long, frame_idx int, width int, height int, mean_px double"
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, duration_ms double, "
+    "mean_amp double, sum_sq long, zero_crossings int"
+)
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -349,3 +355,110 @@ def video_frame_stats(docs: DataFrame, n_frames: int = 6, every: int = 2) -> Dat
             )
 
     return docs.select("doc_id").mapInPandas(stats, FRAME_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio codec: RIFF/WAVE PCM16, pure struct + numpy
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an int16 sample array (mono: (n,), multi: (n, ch)) as a
+    canonical RIFF/WAVE PCM16 file — fmt chunk + data chunk, the layout
+    every WAV reader accepts."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 → ((n, channels) int16 array, sample rate).
+
+    A real chunk walker: scans the chunk list for ``fmt `` and ``data``,
+    skipping unknown chunks (LIST/INFO/cue …) including the RIFF odd-size
+    pad byte — not a fixed-offset parse, so files from arbitrary writers
+    decode too.
+    """
+    b = bytes(payload or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_ch, rate, bps, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", b, pos)
+            bps = struct.unpack_from("<H", b, pos + 14)[0]
+            if audio_fmt != 1 or bps != 16:
+                raise ValueError(
+                    f"only PCM16 WAV supported (fmt={audio_fmt}, bits={bps})"
+                )
+        elif cid == b"data":
+            data = b[pos : pos + size]
+        pos += size + (size & 1)  # chunks are word-aligned
+    if n_ch is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, n_ch), rate
+
+
+def synth_audio(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic per-doc mono int16 waveform (closed form, so the
+    DuckDB oracle can recompute every sample without decoding bytes)."""
+    n = 200 + (doc_id % 100)
+    rate = 8000 + (doc_id % 4) * 4000
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 7919 + i * 4021) % 65536 - 32768).astype(np.int16)
+    return samples, rate
+
+
+def audio_stats(docs: DataFrame) -> DataFrame:
+    """Encode → decode → per-clip features, distributed; zero shuffle.
+
+    The audio-curation kernel: per doc a real WAV is written and parsed
+    back executor-side, then reduced to the features a training-data
+    filter keys on — duration, mean amplitude, energy (exact integer
+    sum of squares, so the oracle compares without float-accumulation
+    drift) and zero-crossing count (the classic voiced/unvoiced proxy).
+    Single-division doubles only (sum/n), keeping DuckDB bit-parity.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                samples, rate = synth_audio(did)
+                dec, dec_rate = decode_wav(encode_wav(samples, rate))
+                x = dec[:, 0].astype(np.int64)
+                n = len(x)
+                crossings = int(np.count_nonzero(x[:-1] * x[1:] < 0))
+                rows.append(
+                    [
+                        did,
+                        n,
+                        dec_rate,
+                        float(n * 1000.0 / dec_rate),
+                        float(int(x.sum()) / n),
+                        int((x * x).sum()),
+                        crossings,
+                    ]
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_ms",
+                    "mean_amp", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(stats, AUDIO_STATS_SCHEMA)

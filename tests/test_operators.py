@@ -346,3 +346,45 @@ def test_lsh_buckets_match_plane_sign(spark, emb):
             if proj > 0:
                 b |= 1 << j
         assert got[r.vec_id] == b, r.vec_id
+
+
+def test_wav_round_trip_exact():
+    import numpy as np
+
+    samples, rate = multimodal.synth_audio(17)
+    dec, dec_rate = multimodal.decode_wav(multimodal.encode_wav(samples, rate))
+    assert dec_rate == rate
+    assert dec[:, 0].tolist() == samples.tolist()
+    # stereo + negative values survive
+    stereo = np.stack([samples, -samples], axis=1).astype(np.int16)
+    d2, r2 = multimodal.decode_wav(multimodal.encode_wav(stereo, 44100))
+    assert r2 == 44100 and d2.tolist() == stereo.tolist()
+
+
+def test_wav_chunk_walker_skips_unknown_chunks():
+    import struct
+
+    samples, rate = multimodal.synth_audio(3)
+    wav = multimodal.encode_wav(samples, rate)
+    # splice an odd-sized LIST chunk between fmt and data (pad byte rules)
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    spliced = struct.pack("<4sI", b"RIFF", len(spliced) - 8) + spliced[8:]
+    dec, dec_rate = multimodal.decode_wav(spliced)
+    assert dec_rate == rate and dec[:, 0].tolist() == samples.tolist()
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_audio_stats_distributed(spark, docs):
+    import numpy as np
+
+    got = {r.doc_id: r for r in multimodal.audio_stats(docs.limit(8)).collect()}
+    for doc_id, row in got.items():
+        samples, rate = multimodal.synth_audio(doc_id)
+        x = samples.astype(np.int64)
+        assert row.n_samples == len(x) and row.sample_rate == rate
+        assert row.sum_sq == int((x * x).sum())
+        assert row.zero_crossings == int(np.count_nonzero(x[:-1] * x[1:] < 0))
+        assert abs(row.mean_amp - x.sum() / len(x)) < 1e-12
