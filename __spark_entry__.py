@@ -46,15 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the three out-of-window members (bm25_incremental_topk,
 # bm25_compacted_topk, bm25_stream_indexed_topk) are covered by the
 # sf0.1 value-level sweep (BENCH/sweep_sf0.1_r5.txt, 10× gate scale)
-# plus the rank-identity pytests until their r6 rotation. The 49
+# plus the rank-identity pytests until their r6 rotation. The 50
 # entries AFTER the first 50 below (41 r4-certified, plus
 # hybrid_rrf_topk, search_facets, bm25_explain, mlt_topk,
-# bm25_collapsed_topk, index_segment_stats, image_decode_stats and
-# audio_decode_stats added after the r5 window froze, each
-# pytest-pinned vs its oracle) form the ENTIRE r6 rotation debt:
-# rotate them to the front in round 6 (49 + r6 additions ≤ 50, so
-# round 6 must add at most ONE new gated query — put any further
-# surface growth behind pytest-only pins until r7).
+# bm25_collapsed_topk, index_segment_stats, image_decode_stats,
+# audio_decode_stats and query_string_search added after the r5
+# window froze, each pytest-pinned vs its oracle) form the ENTIRE r6
+# rotation debt: rotate them to the front in round 6 (exactly 50, so
+# round 6 must add ZERO new gated queries — put ALL further surface
+# growth behind pytest-only pins until r7).
 _GATE_PRIORITY = [
     # --- r5 gate window (50) ---
     "bm25_recrawl_topk",
@@ -158,6 +158,7 @@ _GATE_PRIORITY = [
     "index_segment_stats",
     "image_decode_stats",
     "audio_decode_stats",
+    "query_string_search",
 ]
 
 

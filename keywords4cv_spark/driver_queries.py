@@ -4070,6 +4070,43 @@ def q_bm25_stream_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# query-string search: the Lucene-lite parser front door (query/parse.py)
+# ---------------------------------------------------------------------------
+
+# fixed query-string set — one construct per query: should/must/not
+# literals, must-phrase, prefix star, fuzzy tilde, sloppy phrase
+# (filter-only, score-0 candidates), and an absent term (empty result)
+_QS_QUERIES: list[tuple[int, str]] = [
+    (0, "merge +join -slow"),
+    (1, '+"table scan" column'),
+    (2, "mer* -stream"),
+    (3, "qurey~ +data"),
+    (4, '"data column query"~2'),
+    (5, "zzznope"),
+]
+
+
+def _qs_oracle() -> str:
+    from keywords4cv_spark.query.parse import query_string_oracle
+
+    return query_string_oracle(_QS_QUERIES, _TF_CTES, CFG, TOP_K)
+
+
+@register("query_string_search", _qs_oracle())
+def q_query_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string search — parse `+must -not "phrase"~slop pre* fuzzy~`
+    and execute it as one composed retrieval plan: BM25 scoring over the
+    literal + dictionary-expanded scoring terms, Lucene BooleanQuery
+    candidate algebra (all MUSTs / any SHOULD / no MUST_NOTs), phrase
+    clauses as positional-reachability filters. One tokenize pass feeds
+    tf, dictionary, stats and the phrase chains; every clause table is
+    broadcast (query/parse.py)."""
+    from keywords4cv_spark.query.parse import search_query_strings
+
+    return search_query_strings(spark, _docs(spark, sf_dir), _QS_QUERIES, CFG, TOP_K)
+
+
+# ---------------------------------------------------------------------------
 # long-session cache hygiene
 # ---------------------------------------------------------------------------
 

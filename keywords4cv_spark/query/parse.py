@@ -1,0 +1,503 @@
+"""Lucene-lite query-string parser + executor — the search front door.
+
+Compiles a user-facing query string onto the engine's existing
+retrieval primitives, one clause per whitespace-separated token:
+
+=============  =====================================================
+syntax         meaning
+=============  =====================================================
+``term``       SHOULD term (scores, and is a candidate source when
+               the query has no MUST clauses)
+``+term``      MUST term (filters AND scores)
+``-term``      MUST_NOT term (filters only)
+``"a b"``      exact phrase (adjacent positions); ``~N`` suffix
+               allows slop N (ordered proximity, reachability DP)
+``pre*``       prefix expansion over the dictionary (Lucene
+               PrefixQuery; capped at ``max_expansions``,
+               lexicographically-first terms)
+``term~``      fuzzy expansion, levenshtein distance ≤ 2 (``~1`` for
+               distance 1; Lucene FuzzyQuery; capped at
+               ``fuzzy_max_expansions`` by (distance, df desc, term))
+=============  =====================================================
+
+Matching is Lucene BooleanQuery semantics: a doc is a candidate iff
+it matches EVERY must clause, or — when the query has no must
+clauses — at least one should clause; docs matching any must_not
+clause are excluded. Scoring is the BM25 sum over the doc's matched
+scoring terms (should + must literals plus every expanded dictionary
+term, deduplicated per query — Lucene's scoring-BooleanQuery
+rewrite), ranked by the engine-wide (round(score, 6) DESC, doc_id)
+rule. Phrases are filter-only (constant-score), a documented
+simplification vs Lucene's phrase-freq scoring.
+
+Scale shape: the parsed clause set is query-bounded and broadcast
+everywhere; the corpus is touched by ONE tokenize pass (persisted and
+shared by the tf, dictionary and positional branches) and one
+broadcast-hash join of tf against the expanded clause-term table.
+Prefix/fuzzy expansion is dictionary work only (|V|-bounded range /
+length-band scans — never a postings pass), identical to
+``prefix_query`` / ``term_suggest_fuzzy``. Phrase chains are one
+pushed-down position filter per phrase term, bounded by the query
+set, matching `query/phrase.py`'s indexed twin which answers the
+same plan from compressed positional postings.
+
+Semantic lineage: generalizes the reference's whitelist/boolean term
+filtering (/root/reference/keywords4cv.py:962-997) and fuzzy
+matching (keywords4cv.py:1080-1132) into the standard search-engine
+query language; no reference code is used.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.index.build import (
+    corpus_stats,
+    term_frequencies,
+    tokenized_docs,
+)
+from keywords4cv_spark.query.bm25 import bm25_score_col, rank_topk
+from keywords4cv_spark.query.fixtures import TOP_K
+from keywords4cv_spark.textprep.normalize import normalize_text, tokenize
+
+MAX_EXPANSIONS = 64
+FUZZY_MAX_EXPANSIONS = 16
+FUZZY_MAX_DIST = 2
+
+SHOULD, MUST, MUST_NOT = "should", "must", "must_not"
+_OCCUR = {"": SHOULD, "+": MUST, "-": MUST_NOT}
+
+
+@dataclass(frozen=True)
+class Clause:
+    occur: str  # should | must | must_not
+    kind: str  # term | phrase | prefix | fuzzy
+    terms: tuple[str, ...]  # normalized; len >= 2 only for phrase
+    slop: int = 0  # phrase only
+    dist: int = FUZZY_MAX_DIST  # fuzzy only
+
+
+_CLAUSE_RE = re.compile(r'([+-]?)(?:"([^"]*)"(?:~(\d+))?|(\S+))')
+_FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
+
+
+def parse_query(q: str) -> list[Clause]:
+    """Query string → clause list; terms go through the engine
+    tokenizer so they fold exactly like indexed text. Clauses whose
+    text normalizes away entirely are dropped; a quoted phrase that
+    folds to one token degrades to a term clause; a bare token that
+    folds to several (e.g. ``foo-bar``) becomes an exact phrase."""
+    clauses: list[Clause] = []
+    for m in _CLAUSE_RE.finditer(q):
+        occur = _OCCUR[m.group(1)]
+        if m.group(2) is not None:  # quoted phrase [~slop]
+            terms = tuple(tokenize(m.group(2)))
+            slop = int(m.group(3) or 0)
+            if not terms:
+                continue
+            if len(terms) == 1:
+                clauses.append(Clause(occur, "term", terms))
+            else:
+                clauses.append(Clause(occur, "phrase", terms, slop=slop))
+            continue
+        raw = m.group(4)
+        if raw.endswith("*") and len(raw) > 1:
+            prefix = normalize_text(raw[:-1]).replace(" ", "")
+            if prefix:
+                clauses.append(Clause(occur, "prefix", (prefix,)))
+            continue
+        fm = _FUZZY_RE.match(raw)
+        if fm and fm.group(1):
+            base = tokenize(fm.group(1))
+            if base:
+                dist = min(int(fm.group(2) or FUZZY_MAX_DIST), FUZZY_MAX_DIST)
+                clauses.append(Clause(occur, "fuzzy", (base[0],), dist=dist))
+            continue
+        terms = tuple(tokenize(raw))
+        if not terms:
+            continue
+        kind = "term" if len(terms) == 1 else "phrase"
+        clauses.append(Clause(occur, kind, terms))
+    return clauses
+
+
+def _phrase_hit_docs(pos: DataFrame, terms: tuple[str, ...], slop: int) -> DataFrame:
+    """Docs containing the ordered phrase within slop — reachability DP
+    as a chain of equi-joins on doc_id with pushed-down term filters
+    (the index-free twin of query/phrase.py:proximity_search)."""
+    gap = 1 + slop
+    cur = (
+        pos.filter(F.col("term") == terms[0]).select("doc_id", "p").distinct()
+    )
+    for t in terms[1:]:
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("d2"), F.col("p").alias("p2")
+        )
+        cur = (
+            cur.join(
+                nxt,
+                (F.col("d2") == F.col("doc_id"))
+                & (F.col("p2") > F.col("p"))
+                & (F.col("p2") <= F.col("p") + gap),
+            )
+            .select("doc_id", F.col("p2").alias("p"))
+            .distinct()
+        )
+    return cur.select("doc_id").distinct()
+
+
+def search_query_strings(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    max_expansions: int = MAX_EXPANSIONS,
+    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+) -> DataFrame:
+    """Parse + execute query strings → (query_id, rank, doc_id, score).
+
+    One tokenize pass over the corpus feeds tf, dictionary, stats and
+    the positional phrase chains; all clause tables are broadcast.
+    """
+    parsed = {qid: parse_query(s) for qid, s in queries}
+
+    toks = tokenized_docs(docs, cfg).select("doc_id", "tokens", "dl").persist()
+    toks = toks.withColumn("terms", F.col("tokens"))
+    tf_df = term_frequencies(toks)
+    dict_df = tf_df.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    # ---- clause-term table: literals + dictionary expansions --------
+    lit_rows = [
+        (qid, cid, c.occur, c.terms[0])
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "term"
+    ]
+    schema = "query_id long, clause_id long, occur string, term string"
+    parts: list[DataFrame] = []
+    if lit_rows:
+        parts.append(spark.createDataFrame(lit_rows, schema))
+
+    pre_rows = [
+        (qid, cid, c.occur, c.terms[0])
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "prefix"
+    ]
+    if pre_rows:
+        pdf = spark.createDataFrame(
+            pre_rows, "query_id long, clause_id long, occur string, prefix string"
+        )
+        w = Window.partitionBy("query_id", "clause_id").orderBy("term")
+        parts.append(
+            dict_df.join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_expansions)
+            .select("query_id", "clause_id", "occur", "term")
+        )
+
+    fuz_rows = [
+        (qid, cid, c.occur, c.terms[0], c.dist)
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "fuzzy"
+    ]
+    if fuz_rows:
+        fdf = spark.createDataFrame(
+            fuz_rows,
+            "query_id long, clause_id long, occur string, probe string, dist int",
+        )
+        w = Window.partitionBy("query_id", "clause_id").orderBy(
+            "distance", F.col("df").desc(), "term"
+        )
+        parts.append(
+            dict_df.join(
+                F.broadcast(fdf),
+                F.abs(F.length("term") - F.length("probe")) <= F.col("dist"),
+            )
+            .withColumn("distance", F.levenshtein("probe", "term"))
+            .filter(F.col("distance") <= F.col("dist"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= fuzzy_max_expansions)
+            .select("query_id", "clause_id", "occur", "term")
+        )
+
+    empty_hits = spark.createDataFrame(
+        [], "query_id long, clause_id long, occur string, doc_id long"
+    )
+    if parts:
+        cterm = parts[0]
+        for p in parts[1:]:
+            cterm = cterm.unionByName(p)
+        # ONE broadcast-hash join of tf against every clause term; all
+        # scoring and filtering relations derive from this hit table
+        joined = tf_df.join(
+            F.broadcast(cterm.join(dict_df, "term")), "term"
+        ).persist()
+        scored = (
+            joined.filter(F.col("occur") != MUST_NOT)
+            .select("query_id", "term", "doc_id", "tf", "dl", "df")
+            .distinct()  # a term reached via two clauses scores once
+            .crossJoin(F.broadcast(corpus_stats(toks).drop("sum_dl")))
+            .withColumn("contrib", bm25_score_col(cfg))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        thits = joined.select(
+            "query_id", "clause_id", "occur", "doc_id"
+        ).distinct()
+    else:
+        scored = spark.createDataFrame([], "query_id long, doc_id long, score double")
+        thits = empty_hits
+
+    # ---- phrase clauses: positional reachability chains -------------
+    phrase_clauses = [
+        (qid, cid, c)
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "phrase"
+    ]
+    phits = empty_hits
+    if phrase_clauses:
+        pos = toks.select(
+            "doc_id", F.posexplode("tokens").alias("p", "term")
+        )
+        for qid, cid, c in phrase_clauses:
+            h = _phrase_hit_docs(pos, c.terms, c.slop).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(cid).cast("long").alias("clause_id"),
+                F.lit(c.occur).alias("occur"),
+                "doc_id",
+            )
+            phits = phits.unionByName(h)
+
+    hits = thits.unionByName(phits)
+
+    # ---- Lucene BooleanQuery candidate algebra ----------------------
+    n_must = {
+        qid: sum(1 for c in cs if c.occur == MUST) for qid, cs in parsed.items()
+    }
+    must_qids = [q for q, n in n_must.items() if n > 0]
+    should_qids = [
+        qid
+        for qid, cs in parsed.items()
+        if n_must[qid] == 0 and any(c.occur == SHOULD for c in cs)
+    ]
+
+    cand_parts: list[DataFrame] = []
+    if must_qids:
+        nm = spark.createDataFrame(
+            [(q, n_must[q]) for q in must_qids], "query_id long, n_must long"
+        )
+        cand_parts.append(
+            hits.filter(F.col("occur") == MUST)
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("clause_id").alias("n_hit"))
+            .join(F.broadcast(nm), "query_id")
+            .filter(F.col("n_hit") == F.col("n_must"))
+            .select("query_id", "doc_id")
+        )
+    if should_qids:
+        cand_parts.append(
+            hits.filter(
+                (F.col("occur") == SHOULD)
+                & F.col("query_id").isin(should_qids)
+            )
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+    if not cand_parts:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    cand = cand_parts[0]
+    for p in cand_parts[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+
+    not_hits = (
+        hits.filter(F.col("occur") == MUST_NOT)
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    final = (
+        cand.join(not_hits, ["query_id", "doc_id"], "left_anti")
+        .join(scored, ["query_id", "doc_id"], "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+    )
+    return rank_topk(final, k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generator — the SQL twin of search_query_strings
+# ---------------------------------------------------------------------------
+
+
+def _phrase_chain_sql(terms: tuple[str, ...], slop: int) -> str:
+    """Chained DISTINCT-join reachability SQL over a `pos(doc_id, term,
+    p)` CTE (same shape as driver_queries._proximity_oracle)."""
+    gap = 1 + slop
+    cur = f"SELECT DISTINCT doc_id, p FROM pos WHERE term = '{terms[0]}'"
+    for t in terms[1:]:
+        cur = f"""SELECT DISTINCT b.doc_id, b.p
+FROM ({cur}) r JOIN pos b
+  ON b.doc_id = r.doc_id AND b.term = '{t}'
+ AND b.p > r.p AND b.p <= r.p + {gap}"""
+    return f"SELECT DISTINCT doc_id FROM ({cur})"
+
+
+def query_string_oracle(
+    queries: list[tuple[int, str]],
+    tf_ctes: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    max_expansions: int = MAX_EXPANSIONS,
+    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+) -> str:
+    """Generate the DuckDB SQL equivalent for a fixed query-string set.
+
+    ``tf_ctes`` supplies the `d/dd/tfs/dict/stats` CTE block so the
+    oracle scores the exact corpus the Spark side tokenizes.
+    """
+    parsed = {qid: parse_query(s) for qid, s in queries}
+
+    def row(qid: int, cid: int, occur: str, sel: str) -> str:
+        return (
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, "
+            f"CAST({cid} AS BIGINT) AS clause_id, '{occur}' AS occur, {sel}"
+        )
+
+    cterm_parts: list[str] = []
+    phits_parts: list[str] = []
+    for qid, cs in parsed.items():
+        for cid, c in enumerate(cs):
+            if c.kind == "term":
+                cterm_parts.append(row(qid, cid, c.occur, f"'{c.terms[0]}' AS term"))
+            elif c.kind == "prefix":
+                cterm_parts.append(
+                    row(qid, cid, c.occur, "term")
+                    + f" FROM (SELECT term FROM dict WHERE term LIKE '{c.terms[0]}%'"
+                    f" ORDER BY term LIMIT {max_expansions})"
+                )
+            elif c.kind == "fuzzy":
+                p = c.terms[0]
+                cterm_parts.append(
+                    row(qid, cid, c.occur, "term")
+                    + f""" FROM (SELECT term FROM dict
+  WHERE abs(length(term) - {len(p)}) <= {c.dist}
+    AND levenshtein('{p}', term) <= {c.dist}
+  ORDER BY levenshtein('{p}', term), df DESC, term
+  LIMIT {fuzzy_max_expansions})"""
+                )
+            elif c.kind == "phrase":
+                phits_parts.append(
+                    row(qid, cid, c.occur, "doc_id")
+                    + f" FROM ({_phrase_chain_sql(c.terms, c.slop)})"
+                )
+
+    none = "WHERE 1 = 0"
+    cterm_sql = (
+        "\nUNION ALL\n".join(cterm_parts)
+        if cterm_parts
+        else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT)"
+        f" AS clause_id, '' AS occur, '' AS term {none}"
+    )
+    phits_sql = (
+        "\nUNION ALL\n".join(phits_parts)
+        if phits_parts
+        else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT)"
+        f" AS clause_id, '' AS occur, CAST(NULL AS BIGINT) AS doc_id {none}"
+    )
+
+    n_must = {qid: sum(1 for c in cs if c.occur == MUST) for qid, cs in parsed.items()}
+    must_qids = [q for q, n in n_must.items() if n > 0]
+    should_qids = [
+        qid
+        for qid, cs in parsed.items()
+        if n_must[qid] == 0 and any(c.occur == SHOULD for c in cs)
+    ]
+    nm_vals = (
+        ", ".join(f"({q}, {n_must[q]})" for q in must_qids) or "(NULL, NULL)"
+    )
+    must_ok = (
+        f"""SELECT m.query_id, m.doc_id
+  FROM musthits m JOIN nm ON nm.query_id = m.query_id
+  GROUP BY m.query_id, m.doc_id, nm.n_must
+  HAVING count(DISTINCT m.clause_id) = nm.n_must"""
+        if must_qids
+        else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id {none}"
+    )
+    should_cand = (
+        "SELECT query_id, doc_id FROM shouldhits WHERE query_id IN ("
+        + ", ".join(str(q) for q in should_qids)
+        + ")"
+        if should_qids
+        else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id {none}"
+    )
+
+    return f"""
+WITH {tf_ctes},
+pos AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         unnest(list_transform(range(1, len(toks) + 1),
+                               i -> CAST(i - 1 AS BIGINT))) AS p
+  FROM d
+),
+cterm AS (
+{cterm_sql}
+),
+qterms AS (SELECT DISTINCT query_id, term FROM cterm WHERE occur <> 'must_not'),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum( ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+              * (t.tf * ({cfg.k1} + 1.0))
+              / (t.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dd.dl / s.avgdl)) ) AS score
+  FROM qterms q
+  JOIN dict USING (term)
+  JOIN tfs t USING (term)
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+thits AS (SELECT DISTINCT c.query_id, c.clause_id, c.occur, t.doc_id
+          FROM cterm c JOIN tfs t USING (term)),
+phits AS (
+{phits_sql}
+),
+allhits AS (SELECT * FROM thits UNION ALL SELECT * FROM phits),
+musthits AS (SELECT query_id, clause_id, doc_id FROM allhits WHERE occur = 'must'),
+nm(query_id, n_must) AS (SELECT CAST(c0 AS BIGINT), CAST(c1 AS BIGINT)
+                         FROM (VALUES {nm_vals}) v(c0, c1)),
+must_ok AS (
+  {must_ok}
+),
+shouldhits AS (SELECT DISTINCT query_id, doc_id FROM allhits WHERE occur = 'should'),
+cand AS (
+  SELECT query_id, doc_id FROM must_ok
+  UNION
+  {should_cand}
+),
+nothits AS (SELECT DISTINCT query_id, doc_id FROM allhits WHERE occur = 'must_not'),
+fin AS (
+  SELECT c.query_id, c.doc_id, round(coalesce(s.score, 0.0), 6) AS score
+  FROM cand c
+  LEFT JOIN scored s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+  ANTI JOIN nothits n ON n.query_id = c.query_id AND n.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM fin
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
+"""

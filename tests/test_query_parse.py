@@ -1,0 +1,85 @@
+"""Query-string parser unit tests + executor semantics pins.
+
+The full engine-vs-DuckDB value parity of `query_string_search` is
+covered by tests/test_driver_contract.py (registry-wide); these pin
+the parser grammar and the Lucene BooleanQuery candidate algebra on a
+tiny in-memory corpus where expected hits are hand-checkable.
+"""
+
+from __future__ import annotations
+
+from keywords4cv_spark.query.parse import (
+    FUZZY_MAX_DIST,
+    Clause,
+    parse_query,
+    search_query_strings,
+)
+
+
+def test_parse_occurs_and_kinds():
+    cs = parse_query('merge +join -slow +"table scan" mer* qurey~ "aa bb cc"~2')
+    assert cs == [
+        Clause("should", "term", ("merge",)),
+        Clause("must", "term", ("join",)),
+        Clause("must_not", "term", ("slow",)),
+        Clause("must", "phrase", ("table", "scan")),
+        Clause("should", "prefix", ("mer",)),
+        Clause("should", "fuzzy", ("qurey",)),
+        Clause("should", "phrase", ("aa", "bb", "cc"), slop=2),
+    ]
+
+
+def test_parse_normalization_and_degenerate():
+    # terms fold through the engine tokenizer
+    assert parse_query("MeRgE")[0].terms == ("merge",)
+    # multi-token bare word (punct split) becomes an exact phrase
+    assert parse_query("foo-bar")[0] == Clause("should", "phrase", ("foo", "bar"))
+    # single-token quoted phrase degrades to a term clause
+    assert parse_query('"merge"')[0].kind == "term"
+    # fuzzy distance suffix, capped at the Lucene max of 2
+    assert parse_query("query~1")[0].dist == 1
+    assert parse_query("query~9")[0].dist == FUZZY_MAX_DIST
+    # degenerate inputs parse to nothing
+    assert parse_query('"" * ~ + -') == []
+
+
+def test_executor_boolean_algebra(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "merge join fast", "en"),
+            (2, "merge only here", "en"),
+            (3, "join slow merge", "en"),
+            (4, "table scan merge join", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = search_query_strings(
+        spark, docs, [(0, "merge +join -slow"), (1, '+"table scan"')]
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # q0: must 'join' → {1,3,4}; not 'slow' drops 3 → {1,4}, scored
+    assert sorted(r.doc_id for r in by_q[0]) == [1, 4]
+    assert all(r.score > 0 for r in by_q[0])
+    # q1: phrase-only must → doc 4, constant-score 0.0
+    assert [(r.doc_id, r.score) for r in by_q[1]] == [(4, 0.0)]
+
+
+def test_executor_expansion_and_empty(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "merge table mergesort", "en"),
+            (2, "stream window", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = search_query_strings(
+        spark, docs, [(0, "mer*"), (1, "tble~"), (2, "zzznope")]
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert sorted(r.doc_id for r in by_q[0]) == [1]  # merge + mergesort
+    assert sorted(r.doc_id for r in by_q[1]) == [1]  # tble~ → table
+    assert 2 not in by_q  # absent term → no candidates
