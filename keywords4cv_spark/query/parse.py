@@ -152,38 +152,40 @@ def _phrase_hit_docs(pos: DataFrame, terms: tuple[str, ...], slop: int) -> DataF
     return cur.select("doc_id").distinct()
 
 
-def search_query_strings(
+def _clause_terms(
     spark: SparkSession,
-    docs: DataFrame,
-    queries: list[tuple[int, str]],
-    cfg: EngineConfig = DEFAULT_CONFIG,
-    k: int = TOP_K,
-    max_expansions: int = MAX_EXPANSIONS,
-    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
-) -> DataFrame:
-    """Parse + execute query strings → (query_id, rank, doc_id, score).
+    dictionary: DataFrame,
+    parsed: dict[int, list[Clause]],
+    max_expansions: int,
+    fuzzy_max_expansions: int,
+) -> DataFrame | None:
+    """Literal + dictionary-expanded clause terms, shared by both
+    executors: (query_id, clause_id, occur, term, *dictionary columns).
 
-    One tokenize pass over the corpus feeds tf, dictionary, stats and
-    the positional phrase chains; all clause tables are broadcast.
+    ``dictionary`` must carry (term, df) and may carry more (term_id in
+    the indexed path); extra columns ride through. Literal terms are
+    resolved against the dictionary too — a term absent from the corpus
+    vocabulary has no postings either way, so dropping it here changes
+    no result while letting every downstream join key on resolved
+    terms. Expansion windows are per-clause and capped: prefix by
+    lexicographic term order, fuzzy by (distance, df desc, term) —
+    Lucene's maxExpansions discipline, dictionary work only.
     """
-    parsed = {qid: parse_query(s) for qid, s in queries}
+    extra = [c for c in dictionary.columns if c != "term"]
+    out_cols = ["query_id", "clause_id", "occur", "term", *extra]
+    parts: list[DataFrame] = []
 
-    toks = tokenized_docs(docs, cfg).select("doc_id", "tokens", "dl").persist()
-    toks = toks.withColumn("terms", F.col("tokens"))
-    tf_df = term_frequencies(toks)
-    dict_df = tf_df.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-
-    # ---- clause-term table: literals + dictionary expansions --------
     lit_rows = [
         (qid, cid, c.occur, c.terms[0])
         for qid, cs in parsed.items()
         for cid, c in enumerate(cs)
         if c.kind == "term"
     ]
-    schema = "query_id long, clause_id long, occur string, term string"
-    parts: list[DataFrame] = []
     if lit_rows:
-        parts.append(spark.createDataFrame(lit_rows, schema))
+        ldf = spark.createDataFrame(
+            lit_rows, "query_id long, clause_id long, occur string, term string"
+        )
+        parts.append(dictionary.join(F.broadcast(ldf), "term").select(*out_cols))
 
     pre_rows = [
         (qid, cid, c.occur, c.terms[0])
@@ -197,10 +199,10 @@ def search_query_strings(
         )
         w = Window.partitionBy("query_id", "clause_id").orderBy("term")
         parts.append(
-            dict_df.join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+            dictionary.join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= max_expansions)
-            .select("query_id", "clause_id", "occur", "term")
+            .select(*out_cols)
         )
 
     fuz_rows = [
@@ -218,7 +220,7 @@ def search_query_strings(
             "distance", F.col("df").desc(), "term"
         )
         parts.append(
-            dict_df.join(
+            dictionary.join(
                 F.broadcast(fdf),
                 F.abs(F.length("term") - F.length("probe")) <= F.col("dist"),
             )
@@ -226,61 +228,27 @@ def search_query_strings(
             .filter(F.col("distance") <= F.col("dist"))
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= fuzzy_max_expansions)
-            .select("query_id", "clause_id", "occur", "term")
+            .select(*out_cols)
         )
 
-    empty_hits = spark.createDataFrame(
-        [], "query_id long, clause_id long, occur string, doc_id long"
-    )
-    if parts:
-        cterm = parts[0]
-        for p in parts[1:]:
-            cterm = cterm.unionByName(p)
-        # ONE broadcast-hash join of tf against every clause term; all
-        # scoring and filtering relations derive from this hit table
-        joined = tf_df.join(
-            F.broadcast(cterm.join(dict_df, "term")), "term"
-        ).persist()
-        scored = (
-            joined.filter(F.col("occur") != MUST_NOT)
-            .select("query_id", "term", "doc_id", "tf", "dl", "df")
-            .distinct()  # a term reached via two clauses scores once
-            .crossJoin(F.broadcast(corpus_stats(toks).drop("sum_dl")))
-            .withColumn("contrib", bm25_score_col(cfg))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
-        thits = joined.select(
-            "query_id", "clause_id", "occur", "doc_id"
-        ).distinct()
-    else:
-        scored = spark.createDataFrame([], "query_id long, doc_id long, score double")
-        thits = empty_hits
+    if not parts:
+        return None
+    cterm = parts[0]
+    for p in parts[1:]:
+        cterm = cterm.unionByName(p)
+    return cterm
 
-    # ---- phrase clauses: positional reachability chains -------------
-    phrase_clauses = [
-        (qid, cid, c)
-        for qid, cs in parsed.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "phrase"
-    ]
-    phits = empty_hits
-    if phrase_clauses:
-        pos = toks.select(
-            "doc_id", F.posexplode("tokens").alias("p", "term")
-        )
-        for qid, cid, c in phrase_clauses:
-            h = _phrase_hit_docs(pos, c.terms, c.slop).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.lit(cid).cast("long").alias("clause_id"),
-                F.lit(c.occur).alias("occur"),
-                "doc_id",
-            )
-            phits = phits.unionByName(h)
 
-    hits = thits.unionByName(phits)
-
-    # ---- Lucene BooleanQuery candidate algebra ----------------------
+def _boolean_rank(
+    spark: SparkSession,
+    parsed: dict[int, list[Clause]],
+    hits: DataFrame,
+    scored: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Lucene BooleanQuery candidate algebra + final ranking, shared by
+    both executors. ``hits`` is (query_id, clause_id, occur, doc_id);
+    ``scored`` is (query_id, doc_id, score)."""
     n_must = {
         qid: sum(1 for c in cs if c.occur == MUST) for qid, cs in parsed.items()
     }
@@ -333,6 +301,219 @@ def search_query_strings(
         .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
     )
     return rank_topk(final, k)
+
+
+def search_query_strings(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    max_expansions: int = MAX_EXPANSIONS,
+    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+) -> DataFrame:
+    """Parse + execute query strings → (query_id, rank, doc_id, score).
+
+    Index-free path (the oracle twin): one tokenize pass over the
+    corpus feeds tf, dictionary, stats and the positional phrase
+    chains; all clause tables are broadcast.
+    """
+    parsed = {qid: parse_query(s) for qid, s in queries}
+
+    toks = tokenized_docs(docs, cfg).select("doc_id", "tokens", "dl").persist()
+    toks = toks.withColumn("terms", F.col("tokens"))
+    tf_df = term_frequencies(toks)
+    dict_df = tf_df.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    empty_hits = spark.createDataFrame(
+        [], "query_id long, clause_id long, occur string, doc_id long"
+    )
+    cterm = _clause_terms(
+        spark, dict_df, parsed, max_expansions, fuzzy_max_expansions
+    )
+    if cterm is not None:
+        # ONE broadcast-hash join of tf against every clause term; all
+        # scoring and filtering relations derive from this hit table
+        joined = tf_df.join(F.broadcast(cterm), "term").persist()
+        scored = (
+            joined.filter(F.col("occur") != MUST_NOT)
+            .select("query_id", "term", "doc_id", "tf", "dl", "df")
+            .distinct()  # a term reached via two clauses scores once
+            .crossJoin(F.broadcast(corpus_stats(toks).drop("sum_dl")))
+            .withColumn("contrib", bm25_score_col(cfg))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        thits = joined.select(
+            "query_id", "clause_id", "occur", "doc_id"
+        ).distinct()
+    else:
+        scored = spark.createDataFrame([], "query_id long, doc_id long, score double")
+        thits = empty_hits
+
+    # ---- phrase clauses: positional reachability chains -------------
+    phrase_clauses = [
+        (qid, cid, c)
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "phrase"
+    ]
+    phits = empty_hits
+    if phrase_clauses:
+        pos = toks.select(
+            "doc_id", F.posexplode("tokens").alias("p", "term")
+        )
+        for qid, cid, c in phrase_clauses:
+            h = _phrase_hit_docs(pos, c.terms, c.slop).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(cid).cast("long").alias("clause_id"),
+                F.lit(c.occur).alias("occur"),
+                "doc_id",
+            )
+            phits = phits.unionByName(h)
+
+    hits = thits.unionByName(phits)
+    return _boolean_rank(spark, parsed, hits, scored, k)
+
+
+def _decode_postings(spark, index, wanted: DataFrame) -> DataFrame:
+    """Decode the posting blocks of the requested term_ids →
+    (term_id, doc_id, tf, dl).
+
+    The prefix_query decode discipline: bucket-partition pruning from
+    the (n_term_buckets-bounded) distinct bucket set, then one
+    mapInPandas pass that decodes payloads per block but emits ONE
+    concatenated frame per Arrow batch — no per-row Python. Cost
+    scales with the postings of the requested terms, never the corpus.
+    """
+    from keywords4cv_spark.index.codec import decode_block
+
+    srow = index.stats_row()
+    scan = index.postings
+    if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
+        nb = int(srow["n_term_buckets"])
+        buckets = sorted(
+            int(r["bucket"])
+            for r in wanted.select((F.col("term_id") % F.lit(nb)).alias("bucket"))
+            .distinct()
+            .collect()
+        )
+        if not buckets:
+            return spark.createDataFrame(
+                [], "term_id long, doc_id long, tf long, dl long"
+            )
+        scan = scan.filter(F.col("bucket").isin(buckets))
+    blocks = scan.join(F.broadcast(wanted), "term_id")
+
+    def explode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            decoded = [
+                decode_block(p, int(n), int(fd))
+                for p, n, fd in zip(pdf["payload"], pdf["n"], pdf["first_doc"])
+            ]
+            sizes = np.array([d.size for d, _, _ in decoded], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "term_id": np.repeat(pdf["term_id"].to_numpy(np.int64), sizes),
+                    "doc_id": np.concatenate([d for d, _, _ in decoded]).astype("int64"),
+                    "tf": np.concatenate([t for _, t, _ in decoded]).astype("int64"),
+                    "dl": np.concatenate([l for _, _, l in decoded]).astype("int64"),
+                }
+            )
+
+    return blocks.mapInPandas(
+        explode, "term_id long, doc_id long, tf long, dl long"
+    )
+
+
+def search_query_strings_indexed(
+    spark: SparkSession,
+    index,
+    pos_index,
+    queries: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    max_expansions: int = MAX_EXPANSIONS,
+    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+) -> DataFrame:
+    """The indexed twin of `search_query_strings` — same parse tree,
+    same clause algebra, but every leaf relation reads the compressed
+    index: clause expansion probes the dictionary table, scoring/filter
+    hits come from a bucket-pruned posting-block decode of ONLY the
+    clause terms (dl rides in the payload, df in the dictionary,
+    n_docs/avgdl from the one-row stats), and phrase clauses run
+    against the positional index via the reachability DP in
+    query/phrase.py. Rank-identical to the index-free path by
+    construction (pinned in tests/test_query_parse.py); query cost
+    scales with the postings of the query terms, never the corpus —
+    this is the plan that serves at 10^12 docs.
+    """
+    from keywords4cv_spark.query.phrase import proximity_search
+
+    parsed = {qid: parse_query(s) for qid, s in queries}
+
+    dictionary = index.dictionary.select("term", "term_id", "df")
+    empty_hits = spark.createDataFrame(
+        [], "query_id long, clause_id long, occur string, doc_id long"
+    )
+    cterm = _clause_terms(
+        spark, dictionary, parsed, max_expansions, fuzzy_max_expansions
+    )
+    if cterm is not None:
+        posts = _decode_postings(
+            spark, index, cterm.select("term_id").distinct()
+        )
+        joined = posts.join(F.broadcast(cterm), "term_id").persist()
+        srow = index.stats_row()
+        scored = (
+            joined.filter(F.col("occur") != MUST_NOT)
+            .select("query_id", "term_id", "doc_id", "tf", "dl", "df")
+            .distinct()
+            .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+            .withColumn("avgdl", F.lit(float(srow["avgdl"])))
+            .withColumn("contrib", bm25_score_col(cfg))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        thits = joined.select(
+            "query_id", "clause_id", "occur", "doc_id"
+        ).distinct()
+    else:
+        scored = spark.createDataFrame([], "query_id long, doc_id long, score double")
+        thits = empty_hits
+
+    # ---- phrase clauses: positional-index proximity search ----------
+    phrase_clauses = [
+        (qid, cid, c)
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "phrase"
+    ]
+    phits = empty_hits
+    if phrase_clauses:
+        by_slop: dict[int, list[tuple[int, int, Clause]]] = {}
+        for qid, cid, c in phrase_clauses:
+            by_slop.setdefault(c.slop, []).append((qid, cid, c))
+        for slop, group in by_slop.items():
+            phrases = sorted({" ".join(c.terms) for _, _, c in group})
+            matched = proximity_search(spark, pos_index, phrases, slop=slop)
+            cmap = spark.createDataFrame(
+                [(qid, cid, c.occur, " ".join(c.terms)) for qid, cid, c in group],
+                "query_id long, clause_id long, occur string, phrase string",
+            )
+            phits = phits.unionByName(
+                matched.join(F.broadcast(cmap), "phrase").select(
+                    "query_id", "clause_id", "occur", "doc_id"
+                )
+            )
+
+    hits = thits.unionByName(phits)
+    return _boolean_rank(spark, parsed, hits, scored, k)
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,35 @@ def test_executor_expansion_and_empty(spark):
     assert sorted(r.doc_id for r in by_q[0]) == [1]  # merge + mergesort
     assert sorted(r.doc_id for r in by_q[1]) == [1]  # tble~ → table
     assert 2 not in by_q  # absent term → no candidates
+
+
+def test_indexed_executor_rank_identical(spark, sf_dir):
+    """The index-backed executor must reproduce the oracle-gated
+    index-free path exactly — same candidates, ranks and round(·,6)
+    scores — on the full gated query-string set (every construct:
+    must/should/not literals, must-phrase, prefix, fuzzy, sloppy
+    phrase, absent term)."""
+    from keywords4cv_spark.driver_queries import (
+        _QS_QUERIES,
+        _docs,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import search_query_strings_indexed
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings(
+            spark, _docs(spark, sf_dir), _QS_QUERIES, icfg
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings_indexed(
+            spark, index, pos_index, _QS_QUERIES, icfg
+        ).collect()
+    }
+    assert want  # non-degenerate
+    assert got == want
