@@ -281,3 +281,30 @@ def test_bucket_encode_reuses_cached_partitioning(spark, sf_dir):
     above_cache = plan.split("InMemoryRelation", 1)[0]
     assert "InMemoryTableScan" in plan, plan
     assert "Exchange" not in above_cache, above_cache
+
+
+def test_query_string_search_single_tokenize_no_shuffled_hash(spark, sf_dir):
+    """query_string_search's docstring claims: the corpus is tokenized
+    ONCE (persisted toks feed tf, dictionary, stats and every phrase
+    chain) and nothing clause-sized falls back to a shuffled join. In
+    the plan: every tokenizer stage (ArrowEvalPython) must sit inside
+    an InMemoryRelation cached-plan recipe — its near context shows the
+    cache node — and no ShuffledHashJoin appears anywhere."""
+    from keywords4cv_spark.driver_queries import QUERIES
+
+    df = QUERIES["query_string_search"](spark, sf_dir)
+    # tree form, not formatted explain: the formatted renderer flattens
+    # InMemoryRelation recipes into numbered top-level nodes, losing the
+    # containment this test asserts
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "ArrowEvalPython" in ln:
+            ctx = "\n".join(lines[max(0, i - 6) : i])
+            assert "InMemoryRelation" in ctx or "InMemoryTableScan" in ctx, (
+                "live tokenize stage outside the cache:\n" + "\n".join(
+                    lines[max(0, i - 8) : i + 2]
+                )
+            )
