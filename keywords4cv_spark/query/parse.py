@@ -453,6 +453,74 @@ def search_query_strings_indexed(
     scales with the postings of the query terms, never the corpus —
     this is the plan that serves at 10^12 docs.
     """
+    return _indexed_search(
+        spark,
+        index,
+        pos_index,
+        queries,
+        cfg,
+        k,
+        max_expansions,
+        fuzzy_max_expansions,
+    )[0]
+
+
+def search_with_snippets(
+    spark: SparkSession,
+    index,
+    pos_index,
+    queries: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    width: int = 8,
+    max_expansions: int = MAX_EXPANSIONS,
+    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+) -> DataFrame:
+    """The full search response: indexed query-string retrieval plus a
+    highlighted snippet per hit — (query_id, rank, doc_id, score,
+    win_start, n_terms). Highlight terms are the query's scoring terms
+    (literals + prefix/fuzzy expansions); the window picker reads ONLY
+    the hit docs' position streams from the positional index
+    (query/snippets.py), so highlighting cost is k·|queries|-bounded.
+    Hits whose clauses are all phrases/must_nots have no highlight
+    terms and keep null snippet columns.
+    """
+    from keywords4cv_spark.query.snippets import snippet_windows_for_hits
+
+    ranked, cterm = _indexed_search(
+        spark,
+        index,
+        pos_index,
+        queries,
+        cfg,
+        k,
+        max_expansions,
+        fuzzy_max_expansions,
+    )
+    if cterm is None:
+        return (
+            ranked.withColumn("win_start", F.lit(None).cast("long"))
+            .withColumn("n_terms", F.lit(None).cast("int"))
+        )
+    qterms = (
+        cterm.filter(F.col("occur") != MUST_NOT)
+        .select("query_id", "term")
+        .distinct()
+    )
+    snips = snippet_windows_for_hits(spark, pos_index, ranked, qterms, width=width)
+    return ranked.join(snips, ["query_id", "doc_id"], "left")
+
+
+def _indexed_search(
+    spark: SparkSession,
+    index,
+    pos_index,
+    queries: list[tuple[int, str]],
+    cfg: EngineConfig,
+    k: int,
+    max_expansions: int,
+    fuzzy_max_expansions: int,
+) -> tuple[DataFrame, DataFrame | None]:
     from keywords4cv_spark.query.phrase import proximity_search
 
     parsed = {qid: parse_query(s) for qid, s in queries}
@@ -513,7 +581,7 @@ def search_query_strings_indexed(
             )
 
     hits = thits.unionByName(phits)
-    return _boolean_rank(spark, parsed, hits, scored, k)
+    return _boolean_rank(spark, parsed, hits, scored, k), cterm
 
 
 # ---------------------------------------------------------------------------

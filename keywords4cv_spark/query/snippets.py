@@ -72,14 +72,37 @@ def snippet_windows(
         )
     else:
         hit_df = bm25_wand(spark, index, cfg, k=k, queries=pairs)
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    return snippet_windows_for_hits(spark, index, hit_df, qdf, width=width)
+
+
+def snippet_windows_for_hits(
+    spark: SparkSession,
+    index: IndexTables,
+    hit_df: DataFrame,
+    qterms_df: DataFrame,
+    width: int = 8,
+) -> DataFrame:
+    """Best snippet window per (query_id, doc_id) hit, for an ARBITRARY
+    hit set and highlight-term set — the picker half of
+    `snippet_windows`, reusable by any retrieval front end (WAND top-k,
+    the query-string parser, filtered retrieval).
+
+    ``hit_df``: (query_id, doc_id) rows — top-k-shaped, driver-small by
+    construction. ``qterms_df``: (query_id, term) highlight terms.
+    """
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
     hits = hit_df.select("query_id", "doc_id").collect()
     hit_map: dict[int, set[int]] = {}
     for r in hits:
         hit_map.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
     hits_b = spark.sparkContext.broadcast(hit_map)
 
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
-    qterms = qdf.join(index.dictionary, "term").select("query_id", "term", "term_id")
+    qterms = qterms_df.join(index.dictionary, "term").select(
+        "query_id", "term", "term_id"
+    )
     term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
     if not term_ids or not hit_map:
         return spark.createDataFrame([], OUT_SCHEMA)

@@ -8,6 +8,8 @@ tiny in-memory corpus where expected hits are hand-checkable.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from keywords4cv_spark.query.parse import (
     FUZZY_MAX_DIST,
     Clause,
@@ -115,3 +117,60 @@ def test_indexed_executor_rank_identical(spark, sf_dir):
     }
     assert want  # non-degenerate
     assert got == want
+
+
+def test_search_with_snippets_windows_exact(spark, sf_dir):
+    """search_with_snippets = indexed retrieval + best-window
+    highlighting. The decode+picker path is verified against a pure
+    Python recomputation over the raw tokenized text: for every hit,
+    the window [s, s+width) starting at a highlight-term position with
+    the most DISTINCT highlight terms, smallest start on ties; hits of
+    queries with no scoring terms (phrase-only) keep null snippets."""
+    from keywords4cv_spark.driver_queries import (
+        _QS_QUERIES,
+        _docs,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import (
+        MUST_NOT,
+        _clause_terms,
+        parse_query,
+        search_with_snippets,
+    )
+    from keywords4cv_spark.textprep.normalize import tokenize
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    width = 8
+    out = search_with_snippets(
+        spark, index, pos_index, _QS_QUERIES, icfg, width=width
+    ).collect()
+    assert out
+    assert {r.query_id for r in out} >= {0, 1, 2, 3, 4}
+
+    parsed = {qid: parse_query(s) for qid, s in _QS_QUERIES}
+    cterm = _clause_terms(
+        spark, index.dictionary.select("term", "term_id", "df"), parsed, 64, 16
+    )
+    hl: dict[int, set[str]] = {}
+    for r in cterm.filter(F.col("occur") != MUST_NOT).collect():
+        hl.setdefault(r.query_id, set()).add(r.term)
+
+    texts = {
+        r.doc_id: tokenize(r.text)
+        for r in _docs(spark, sf_dir).filter(F.col("lang") == "en").collect()
+    }
+    for r in out:
+        terms = hl.get(r.query_id, set())
+        toks = texts[r.doc_id]
+        occ = [(p, t) for p, t in enumerate(toks) if t in terms]
+        if not occ:
+            assert r.win_start is None and r.n_terms is None, r
+            continue
+        best_s, best_n = -1, -1
+        for s, _ in occ:
+            n = len({t for p, t in occ if s <= p < s + width})
+            if n > best_n:
+                best_s, best_n = s, n
+        assert (r.win_start, r.n_terms) == (best_s, best_n), (r, best_s, best_n)
