@@ -77,14 +77,29 @@ _OCCUR = {"": SHOULD, "+": MUST, "-": MUST_NOT}
 @dataclass(frozen=True)
 class Clause:
     occur: str  # should | must | must_not
-    kind: str  # term | phrase | prefix | fuzzy
+    kind: str  # term | phrase | prefix | fuzzy | filter | range
     terms: tuple[str, ...]  # normalized; len >= 2 only for phrase
     slop: int = 0  # phrase only
     dist: int = FUZZY_MAX_DIST  # fuzzy only
+    boost: float = 1.0  # term/prefix/fuzzy only (phrases are filter-only)
+    field: str | None = None  # filter/range only
+    lo: float | None = None  # range only (None = unbounded)
+    hi: float | None = None  # range only
 
 
-_CLAUSE_RE = re.compile(r'([+-]?)(?:"([^"]*)"(?:~(\d+))?|(\S+))')
+_CLAUSE_RE = re.compile(
+    r'([+-]?)'
+    r'(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'  # phrase [~slop][^boost]
+    r"|(\w+):\[([^\]]*)\]"  #                            field:[lo TO hi]
+    r"|(\S+))"  #                                        bare token
+)
 _FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+_FIELD_RE = re.compile(r"^(\w+):(\S+)$")
+
+
+def _range_bound(tok: str) -> float | None:
+    return None if tok == "*" else float(tok)
 
 
 def parse_query(q: str) -> list[Clause]:
@@ -92,38 +107,83 @@ def parse_query(q: str) -> list[Clause]:
     tokenizer so they fold exactly like indexed text. Clauses whose
     text normalizes away entirely are dropped; a quoted phrase that
     folds to one token degrades to a term clause; a bare token that
-    folds to several (e.g. ``foo-bar``) becomes an exact phrase."""
+    folds to several (e.g. ``foo-bar``) becomes an exact phrase.
+
+    Field clauses — ``field:value`` (exact attribute match) and
+    ``field:[lo TO hi]`` (numeric range, ``*`` = unbounded) — are
+    Lucene filter context: non-scoring, coerced to MUST (``-`` makes
+    them MUST_NOT; a bare filter never scores). ``^N`` boosts a
+    term/prefix/fuzzy clause's score contribution (parsed-but-inert on
+    phrases, which are filter-only here)."""
     clauses: list[Clause] = []
     for m in _CLAUSE_RE.finditer(q):
         occur = _OCCUR[m.group(1)]
-        if m.group(2) is not None:  # quoted phrase [~slop]
+        if m.group(2) is not None:  # quoted phrase [~slop][^boost]
             terms = tuple(tokenize(m.group(2)))
             slop = int(m.group(3) or 0)
+            boost = float(m.group(4) or 1.0)
             if not terms:
                 continue
             if len(terms) == 1:
-                clauses.append(Clause(occur, "term", terms))
+                clauses.append(Clause(occur, "term", terms, boost=boost))
             else:
-                clauses.append(Clause(occur, "phrase", terms, slop=slop))
+                clauses.append(Clause(occur, "phrase", terms, slop=slop, boost=boost))
             continue
-        raw = m.group(4)
+        if m.group(5) is not None:  # field:[lo TO hi]
+            parts = m.group(6).split()
+            if len(parts) == 3 and parts[1].upper() == "TO":
+                try:
+                    lo, hi = _range_bound(parts[0]), _range_bound(parts[2])
+                except ValueError:
+                    continue
+                clauses.append(
+                    Clause(
+                        MUST_NOT if occur == MUST_NOT else MUST,
+                        "range",
+                        (),
+                        field=m.group(5),
+                        lo=lo,
+                        hi=hi,
+                    )
+                )
+            continue
+        raw = m.group(7)
+        bm = _BOOST_RE.match(raw)
+        boost = 1.0
+        if bm and bm.group(1):
+            raw, boost = bm.group(1), float(bm.group(2))
+        fm = _FIELD_RE.match(raw)
+        if fm:
+            clauses.append(
+                Clause(
+                    MUST_NOT if occur == MUST_NOT else MUST,
+                    "filter",
+                    (fm.group(2),),
+                    field=fm.group(1),
+                )
+            )
+            continue
         if raw.endswith("*") and len(raw) > 1:
             prefix = normalize_text(raw[:-1]).replace(" ", "")
             if prefix:
-                clauses.append(Clause(occur, "prefix", (prefix,)))
+                clauses.append(Clause(occur, "prefix", (prefix,), boost=boost))
             continue
-        fm = _FUZZY_RE.match(raw)
-        if fm and fm.group(1):
-            base = tokenize(fm.group(1))
+        fm2 = _FUZZY_RE.match(raw)
+        if fm2 and fm2.group(1):
+            base = tokenize(fm2.group(1))
             if base:
-                dist = min(int(fm.group(2) or FUZZY_MAX_DIST), FUZZY_MAX_DIST)
-                clauses.append(Clause(occur, "fuzzy", (base[0],), dist=dist))
+                dist = min(int(fm2.group(2) or FUZZY_MAX_DIST), FUZZY_MAX_DIST)
+                clauses.append(
+                    Clause(occur, "fuzzy", (base[0],), dist=dist, boost=boost)
+                )
             continue
         terms = tuple(tokenize(raw))
         if not terms:
             continue
-        kind = "term" if len(terms) == 1 else "phrase"
-        clauses.append(Clause(occur, kind, terms))
+        if len(terms) == 1:
+            clauses.append(Clause(occur, "term", terms, boost=boost))
+        else:
+            clauses.append(Clause(occur, "phrase", terms, boost=boost))
     return clauses
 
 
@@ -175,27 +235,31 @@ def _clause_terms(
     out_cols = ["query_id", "clause_id", "occur", "term", *extra]
     parts: list[DataFrame] = []
 
+    out_cols.append("boost")
+
     lit_rows = [
-        (qid, cid, c.occur, c.terms[0])
+        (qid, cid, c.occur, c.terms[0], c.boost)
         for qid, cs in parsed.items()
         for cid, c in enumerate(cs)
         if c.kind == "term"
     ]
     if lit_rows:
         ldf = spark.createDataFrame(
-            lit_rows, "query_id long, clause_id long, occur string, term string"
+            lit_rows,
+            "query_id long, clause_id long, occur string, term string, boost double",
         )
         parts.append(dictionary.join(F.broadcast(ldf), "term").select(*out_cols))
 
     pre_rows = [
-        (qid, cid, c.occur, c.terms[0])
+        (qid, cid, c.occur, c.terms[0], c.boost)
         for qid, cs in parsed.items()
         for cid, c in enumerate(cs)
         if c.kind == "prefix"
     ]
     if pre_rows:
         pdf = spark.createDataFrame(
-            pre_rows, "query_id long, clause_id long, occur string, prefix string"
+            pre_rows,
+            "query_id long, clause_id long, occur string, prefix string, boost double",
         )
         w = Window.partitionBy("query_id", "clause_id").orderBy("term")
         parts.append(
@@ -206,7 +270,7 @@ def _clause_terms(
         )
 
     fuz_rows = [
-        (qid, cid, c.occur, c.terms[0], c.dist)
+        (qid, cid, c.occur, c.terms[0], c.dist, c.boost)
         for qid, cs in parsed.items()
         for cid, c in enumerate(cs)
         if c.kind == "fuzzy"
@@ -214,7 +278,8 @@ def _clause_terms(
     if fuz_rows:
         fdf = spark.createDataFrame(
             fuz_rows,
-            "query_id long, clause_id long, occur string, probe string, dist int",
+            "query_id long, clause_id long, occur string, probe string,"
+            " dist int, boost double",
         )
         w = Window.partitionBy("query_id", "clause_id").orderBy(
             "distance", F.col("df").desc(), "term"
@@ -245,26 +310,79 @@ def _boolean_rank(
     hits: DataFrame,
     scored: DataFrame,
     k: int,
+    attrs: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene BooleanQuery candidate algebra + final ranking, shared by
-    both executors. ``hits`` is (query_id, clause_id, occur, doc_id);
-    ``scored`` is (query_id, doc_id, score)."""
+    both executors. ``hits`` is (query_id, clause_id, occur, doc_id)
+    for TERM-LIKE clauses (term/phrase/prefix/fuzzy); ``scored`` is
+    (query_id, doc_id, score); ``attrs`` is the doc-attribute relation
+    (doc_id + attribute columns — the doc-values analog) required when
+    any query has filter/range clauses.
+
+    Filter clauses follow Lucene filter-context semantics: positive
+    filters select candidates directly from a pushed-down attribute
+    scan (one predicate-conjunction pass per query — a filter-only
+    query matches every attribute-matching doc at constant score, and
+    when filters coexist with term-like SHOULD clauses
+    minimumShouldMatch drops to 0, so the filter alone defines the
+    candidate set); term-like MUSTs intersect with the filter set;
+    negative filters exclude like must_not terms.
+    """
+    termlike = {"term", "phrase", "prefix", "fuzzy"}
+
+    def _pred(cs: list[Clause], positive: bool) -> F.Column | None:
+        """Conjunction (positive) / disjunction (negative) of a query's
+        attribute predicates; None when it has none."""
+        conds = []
+        for c in cs:
+            if c.kind not in ("filter", "range"):
+                continue
+            if (c.occur == MUST_NOT) == positive:
+                continue
+            if c.field not in attrs.columns:
+                raise ValueError(f"unknown filter field: {c.field!r}")
+            if c.kind == "filter":
+                cond = F.col(c.field).cast("string") == F.lit(c.terms[0])
+            else:
+                v = F.col(c.field).cast("double")
+                cond = F.lit(True)
+                if c.lo is not None:
+                    cond = cond & (v >= F.lit(c.lo))
+                if c.hi is not None:
+                    cond = cond & (v <= F.lit(c.hi))
+            conds.append(F.coalesce(cond, F.lit(False)))
+        if not conds:
+            return None
+        out = conds[0]
+        for cnd in conds[1:]:
+            out = (out & cnd) if positive else (out | cnd)
+        return out
+
     n_must = {
-        qid: sum(1 for c in cs if c.occur == MUST) for qid, cs in parsed.items()
+        qid: sum(1 for c in cs if c.occur == MUST and c.kind in termlike)
+        for qid, cs in parsed.items()
+    }
+    has_pos_filter = {
+        qid: any(
+            c.kind in ("filter", "range") and c.occur != MUST_NOT for c in cs
+        )
+        for qid, cs in parsed.items()
     }
     must_qids = [q for q, n in n_must.items() if n > 0]
     should_qids = [
         qid
         for qid, cs in parsed.items()
-        if n_must[qid] == 0 and any(c.occur == SHOULD for c in cs)
+        if n_must[qid] == 0
+        and not has_pos_filter[qid]
+        and any(c.occur == SHOULD and c.kind in termlike for c in cs)
     ]
 
-    cand_parts: list[DataFrame] = []
+    must_ok = None
     if must_qids:
         nm = spark.createDataFrame(
             [(q, n_must[q]) for q in must_qids], "query_id long, n_must long"
         )
-        cand_parts.append(
+        must_ok = (
             hits.filter(F.col("occur") == MUST)
             .groupBy("query_id", "doc_id")
             .agg(F.countDistinct("clause_id").alias("n_hit"))
@@ -272,6 +390,31 @@ def _boolean_rank(
             .filter(F.col("n_hit") == F.col("n_must"))
             .select("query_id", "doc_id")
         )
+
+    cand_parts: list[DataFrame] = []
+    neg_parts: list[DataFrame] = []
+    for qid, cs in parsed.items():
+        pos = _pred(cs, positive=True) if has_pos_filter[qid] else None
+        if pos is not None:
+            fcand = attrs.filter(pos).select(
+                F.lit(qid).cast("long").alias("query_id"), "doc_id"
+            )
+            if n_must[qid] > 0:
+                # term-like MUSTs ∩ filter set; the must side is
+                # hit-bounded, so it drives the join
+                fcand = must_ok.filter(F.col("query_id") == qid).join(
+                    fcand.select("query_id", "doc_id"), ["query_id", "doc_id"]
+                )
+            cand_parts.append(fcand)
+        elif n_must[qid] > 0:
+            cand_parts.append(must_ok.filter(F.col("query_id") == qid))
+        neg = _pred(cs, positive=False)
+        if neg is not None:
+            neg_parts.append(
+                attrs.filter(neg).select(
+                    F.lit(qid).cast("long").alias("query_id"), "doc_id"
+                )
+            )
     if should_qids:
         cand_parts.append(
             hits.filter(
@@ -295,6 +438,8 @@ def _boolean_rank(
         .select("query_id", "doc_id")
         .distinct()
     )
+    for np_ in neg_parts:
+        not_hits = not_hits.unionByName(np_)
     final = (
         cand.join(not_hits, ["query_id", "doc_id"], "left_anti")
         .join(scored, ["query_id", "doc_id"], "left")
@@ -337,10 +482,11 @@ def search_query_strings(
         joined = tf_df.join(F.broadcast(cterm), "term").persist()
         scored = (
             joined.filter(F.col("occur") != MUST_NOT)
-            .select("query_id", "term", "doc_id", "tf", "dl", "df")
-            .distinct()  # a term reached via two clauses scores once
+            # a term reached via two clauses scores once, at its max boost
+            .groupBy("query_id", "term", "doc_id", "tf", "dl", "df")
+            .agg(F.max("boost").alias("boost"))
             .crossJoin(F.broadcast(corpus_stats(toks).drop("sum_dl")))
-            .withColumn("contrib", bm25_score_col(cfg))
+            .withColumn("contrib", bm25_score_col(cfg) * F.col("boost"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
@@ -373,7 +519,10 @@ def search_query_strings(
             phits = phits.unionByName(h)
 
     hits = thits.unionByName(phits)
-    return _boolean_rank(spark, parsed, hits, scored, k)
+    attrs = docs
+    if cfg.lang_filter and "lang" in docs.columns:
+        attrs = docs.filter(F.col("lang") == cfg.lang_filter)
+    return _boolean_rank(spark, parsed, hits, scored, k, attrs=attrs)
 
 
 def _decode_postings(spark, index, wanted: DataFrame) -> DataFrame:
@@ -440,6 +589,7 @@ def search_query_strings_indexed(
     k: int = TOP_K,
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+    doc_attrs: DataFrame | None = None,
 ) -> DataFrame:
     """The indexed twin of `search_query_strings` — same parse tree,
     same clause algebra, but every leaf relation reads the compressed
@@ -462,6 +612,7 @@ def search_query_strings_indexed(
         k,
         max_expansions,
         fuzzy_max_expansions,
+        doc_attrs,
     )[0]
 
 
@@ -475,6 +626,7 @@ def search_with_snippets(
     width: int = 8,
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+    doc_attrs: DataFrame | None = None,
 ) -> DataFrame:
     """The full search response: indexed query-string retrieval plus a
     highlighted snippet per hit — (query_id, rank, doc_id, score,
@@ -496,6 +648,7 @@ def search_with_snippets(
         k,
         max_expansions,
         fuzzy_max_expansions,
+        doc_attrs,
     )
     if cterm is None:
         return (
@@ -520,6 +673,7 @@ def _indexed_search(
     k: int,
     max_expansions: int,
     fuzzy_max_expansions: int,
+    doc_attrs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     from keywords4cv_spark.query.phrase import proximity_search
 
@@ -540,11 +694,11 @@ def _indexed_search(
         srow = index.stats_row()
         scored = (
             joined.filter(F.col("occur") != MUST_NOT)
-            .select("query_id", "term_id", "doc_id", "tf", "dl", "df")
-            .distinct()
+            .groupBy("query_id", "term_id", "doc_id", "tf", "dl", "df")
+            .agg(F.max("boost").alias("boost"))
             .withColumn("n_docs", F.lit(int(srow["n_docs"])))
             .withColumn("avgdl", F.lit(float(srow["avgdl"])))
-            .withColumn("contrib", bm25_score_col(cfg))
+            .withColumn("contrib", bm25_score_col(cfg) * F.col("boost"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
@@ -581,7 +735,8 @@ def _indexed_search(
             )
 
     hits = thits.unionByName(phits)
-    return _boolean_rank(spark, parsed, hits, scored, k), cterm
+    attrs = doc_attrs if doc_attrs is not None else index.docmeta
+    return _boolean_rank(spark, parsed, hits, scored, k, attrs=attrs), cterm
 
 
 # ---------------------------------------------------------------------------
@@ -602,6 +757,32 @@ FROM ({cur}) r JOIN pos b
     return f"SELECT DISTINCT doc_id FROM ({cur})"
 
 
+def _attr_pred_sql(cs: list[Clause], positive: bool) -> str | None:
+    """SQL twin of `_boolean_rank._pred`: conjunction of a query's
+    positive attribute predicates / disjunction of its negative ones.
+    NULL attribute values never match (SQL WHERE drops NULL), matching
+    the executor's coalesce(·, False)."""
+    conds = []
+    for c in cs:
+        if c.kind not in ("filter", "range"):
+            continue
+        if (c.occur == MUST_NOT) == positive:
+            continue
+        if c.kind == "filter":
+            conds.append(f"CAST({c.field} AS VARCHAR) = '{c.terms[0]}'")
+        else:
+            rng = []
+            if c.lo is not None:
+                rng.append(f"CAST({c.field} AS DOUBLE) >= {c.lo}")
+            if c.hi is not None:
+                rng.append(f"CAST({c.field} AS DOUBLE) <= {c.hi}")
+            conds.append("(" + " AND ".join(rng or ["TRUE"]) + ")")
+    if not conds:
+        return None
+    op = " AND " if positive else " OR "
+    return "(" + op.join(conds) + ")"
+
+
 def query_string_oracle(
     queries: list[tuple[int, str]],
     tf_ctes: str,
@@ -609,13 +790,17 @@ def query_string_oracle(
     k: int = TOP_K,
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+    attr_sql: str = "SELECT * FROM documents WHERE lang = 'en'",
 ) -> str:
     """Generate the DuckDB SQL equivalent for a fixed query-string set.
 
     ``tf_ctes`` supplies the `d/dd/tfs/dict/stats` CTE block so the
-    oracle scores the exact corpus the Spark side tokenizes.
+    oracle scores the exact corpus the Spark side tokenizes;
+    ``attr_sql`` the doc-attribute relation filter/range clauses probe
+    (the same corpus restriction as the tokenize CTE).
     """
     parsed = {qid: parse_query(s) for qid, s in queries}
+    termlike = {"term", "phrase", "prefix", "fuzzy"}
 
     def row(qid: int, cid: int, occur: str, sel: str) -> str:
         return (
@@ -627,18 +812,21 @@ def query_string_oracle(
     phits_parts: list[str] = []
     for qid, cs in parsed.items():
         for cid, c in enumerate(cs):
+            boost_sel = f"CAST({c.boost} AS DOUBLE) AS boost"
             if c.kind == "term":
-                cterm_parts.append(row(qid, cid, c.occur, f"'{c.terms[0]}' AS term"))
+                cterm_parts.append(
+                    row(qid, cid, c.occur, f"'{c.terms[0]}' AS term, {boost_sel}")
+                )
             elif c.kind == "prefix":
                 cterm_parts.append(
-                    row(qid, cid, c.occur, "term")
+                    row(qid, cid, c.occur, f"term, {boost_sel}")
                     + f" FROM (SELECT term FROM dict WHERE term LIKE '{c.terms[0]}%'"
                     f" ORDER BY term LIMIT {max_expansions})"
                 )
             elif c.kind == "fuzzy":
                 p = c.terms[0]
                 cterm_parts.append(
-                    row(qid, cid, c.occur, "term")
+                    row(qid, cid, c.occur, f"term, {boost_sel}")
                     + f""" FROM (SELECT term FROM dict
   WHERE abs(length(term) - {len(p)}) <= {c.dist}
     AND levenshtein('{p}', term) <= {c.dist}
@@ -656,7 +844,8 @@ def query_string_oracle(
         "\nUNION ALL\n".join(cterm_parts)
         if cterm_parts
         else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT)"
-        f" AS clause_id, '' AS occur, '' AS term {none}"
+        f" AS clause_id, '' AS occur, '' AS term,"
+        f" CAST(1.0 AS DOUBLE) AS boost {none}"
     )
     phits_sql = (
         "\nUNION ALL\n".join(phits_parts)
@@ -665,12 +854,19 @@ def query_string_oracle(
         f" AS clause_id, '' AS occur, CAST(NULL AS BIGINT) AS doc_id {none}"
     )
 
-    n_must = {qid: sum(1 for c in cs if c.occur == MUST) for qid, cs in parsed.items()}
+    n_must = {
+        qid: sum(1 for c in cs if c.occur == MUST and c.kind in termlike)
+        for qid, cs in parsed.items()
+    }
+    pos_preds = {qid: _attr_pred_sql(cs, True) for qid, cs in parsed.items()}
+    neg_preds = {qid: _attr_pred_sql(cs, False) for qid, cs in parsed.items()}
     must_qids = [q for q, n in n_must.items() if n > 0]
     should_qids = [
         qid
         for qid, cs in parsed.items()
-        if n_must[qid] == 0 and any(c.occur == SHOULD for c in cs)
+        if n_must[qid] == 0
+        and pos_preds[qid] is None
+        and any(c.occur == SHOULD and c.kind in termlike for c in cs)
     ]
     nm_vals = (
         ", ".join(f"({q}, {n_must[q]})" for q in must_qids) or "(NULL, NULL)"
@@ -683,16 +879,54 @@ def query_string_oracle(
         if must_qids
         else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id {none}"
     )
-    should_cand = (
-        "SELECT query_id, doc_id FROM shouldhits WHERE query_id IN ("
-        + ", ".join(str(q) for q in should_qids)
-        + ")"
-        if should_qids
-        else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id {none}"
+
+    # candidate parts, mirroring the executor's per-query split:
+    # filter∩must, filter-only, must-only, should-only
+    cand_parts: list[str] = []
+    nothits_parts: list[str] = []
+    for qid in parsed:
+        pos = pos_preds[qid]
+        if pos is not None:
+            fsel = f"SELECT doc_id FROM attr WHERE {pos}"
+            if n_must[qid] > 0:
+                cand_parts.append(
+                    f"SELECT query_id, doc_id FROM must_ok "
+                    f"WHERE query_id = {qid} AND doc_id IN ({fsel})"
+                )
+            else:
+                cand_parts.append(
+                    f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM attr "
+                    f"WHERE {pos}"
+                )
+        elif n_must[qid] > 0:
+            cand_parts.append(
+                f"SELECT query_id, doc_id FROM must_ok WHERE query_id = {qid}"
+            )
+        neg = neg_preds[qid]
+        if neg is not None:
+            nothits_parts.append(
+                f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM attr "
+                f"WHERE {neg}"
+            )
+    if should_qids:
+        cand_parts.append(
+            "SELECT query_id, doc_id FROM shouldhits WHERE query_id IN ("
+            + ", ".join(str(q) for q in should_qids)
+            + ")"
+        )
+    cand_sql = (
+        "\n  UNION\n  ".join(cand_parts)
+        if cand_parts
+        else f"SELECT CAST(NULL AS BIGINT) AS query_id,"
+        f" CAST(NULL AS BIGINT) AS doc_id {none}"
     )
+    nothits_sql = "SELECT DISTINCT query_id, doc_id FROM allhits WHERE occur = 'must_not'"
+    for np_ in nothits_parts:
+        nothits_sql += f"\n  UNION\n  {np_}"
 
     return f"""
 WITH {tf_ctes},
+attr AS ({attr_sql}),
 pos AS (
   SELECT doc_id,
          unnest(toks) AS term,
@@ -703,10 +937,12 @@ pos AS (
 cterm AS (
 {cterm_sql}
 ),
-qterms AS (SELECT DISTINCT query_id, term FROM cterm WHERE occur <> 'must_not'),
+qterms AS (SELECT query_id, term, max(boost) AS boost FROM cterm
+           WHERE occur <> 'must_not' GROUP BY query_id, term),
 scored AS (
   SELECT q.query_id, t.doc_id,
-         sum( ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
+         sum( q.boost
+              * ln(1.0 + (s.n_docs - dict.df + 0.5) / (dict.df + 0.5))
               * (t.tf * ({cfg.k1} + 1.0))
               / (t.tf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dd.dl / s.avgdl)) ) AS score
   FROM qterms q
@@ -730,11 +966,11 @@ must_ok AS (
 ),
 shouldhits AS (SELECT DISTINCT query_id, doc_id FROM allhits WHERE occur = 'should'),
 cand AS (
-  SELECT query_id, doc_id FROM must_ok
-  UNION
-  {should_cand}
+  {cand_sql}
 ),
-nothits AS (SELECT DISTINCT query_id, doc_id FROM allhits WHERE occur = 'must_not'),
+nothits AS (
+  {nothits_sql}
+),
 fin AS (
   SELECT c.query_id, c.doc_id, round(coalesce(s.score, 0.0), 6) AS score
   FROM cand c

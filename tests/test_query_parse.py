@@ -174,3 +174,89 @@ def test_search_with_snippets_windows_exact(spark, sf_dir):
             if n > best_n:
                 best_s, best_n = s, n
         assert (r.win_start, r.n_terms) == (best_s, best_n), (r, best_s, best_n)
+
+
+def test_parse_filters_ranges_boosts():
+    assert parse_query("source:src1")[0] == Clause(
+        "must", "filter", ("src1",), field="source"
+    )
+    assert parse_query("-source:src0")[0] == Clause(
+        "must_not", "filter", ("src0",), field="source"
+    )
+    assert parse_query("n_chars:[200 TO 400]")[0] == Clause(
+        "must", "range", (), field="n_chars", lo=200.0, hi=400.0
+    )
+    assert parse_query("n_chars:[* TO 400]")[0].lo is None
+    assert parse_query("merge^2.5")[0].boost == 2.5
+    assert parse_query("mer*^3")[0] == Clause(
+        "should", "prefix", ("mer",), boost=3.0
+    )
+    assert parse_query("qurey~^2")[0].kind == "fuzzy"
+    assert parse_query('"table scan"^2')[0].boost == 2.0
+    # a '+' filter stays filter-context MUST; boost on plain term default 1
+    assert parse_query("+source:src1")[0].occur == "must"
+    assert parse_query("merge")[0].boost == 1.0
+
+
+_EXT_QUERIES = [
+    (0, "source:src1"),                   # filter-only → constant score 0
+    (1, "merge source:src1"),             # filter + should: msm drops to 0
+    (2, "+join -source:src0"),            # termlike must + negative filter
+    (3, "n_chars:[200 TO 400] merge^2"),  # numeric range + boosted should
+    (4, "merge^3 join"),                  # boost reweights the BM25 sum
+]
+
+
+def test_extended_grammar_matches_generated_oracle(spark, sf_dir):
+    """The oracle generator covers the FULL grammar (boost, filter,
+    range): the index-free executor and the generated DuckDB SQL must
+    agree value-level on a query set exercising every extension."""
+    import duckdb
+
+    from test_driver_contract import _assert_frames_match
+
+    from keywords4cv_spark.driver_queries import _TF_CTES, _docs
+    from keywords4cv_spark.query.parse import query_string_oracle
+
+    got = search_query_strings(
+        spark, _docs(spark, sf_dir), _EXT_QUERIES
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(query_string_oracle(_EXT_QUERIES, _TF_CTES)).fetchdf()
+    assert len(got) > 0
+    _assert_frames_match("extended_grammar", got, want)
+
+
+def test_extended_grammar_indexed_rank_identical(spark, sf_dir):
+    """tf-path ↔ indexed-path rank identity for filter/range/boost
+    clauses; the indexed path takes the doc-attribute relation
+    explicitly (docmeta carries no source/n_chars — attributes are the
+    doc-values analog, a pruned scan of the source table)."""
+    from keywords4cv_spark.driver_queries import (
+        _docs,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import search_query_strings_indexed
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    attrs = docs.filter(F.col("lang") == "en").select(
+        "doc_id", "source", "n_chars"
+    )
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings(spark, docs, _EXT_QUERIES, icfg).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings_indexed(
+            spark, index, pos_index, _EXT_QUERIES, icfg, doc_attrs=attrs
+        ).collect()
+    }
+    assert want
+    assert got == want
