@@ -212,6 +212,20 @@ def _phrase_hit_docs(pos: DataFrame, terms: tuple[str, ...], slop: int) -> DataF
     return cur.select("doc_id").distinct()
 
 
+def wand_eligible_qids(parsed: dict[int, list[Clause]]) -> list[int]:
+    """Queries whose every clause is a scoring SHOULD term/prefix/fuzzy
+    — the pure-disjunctive shape Block-Max WAND answers directly."""
+    return [
+        qid
+        for qid, cs in parsed.items()
+        if cs
+        and all(
+            c.occur == SHOULD and c.kind in ("term", "prefix", "fuzzy")
+            for c in cs
+        )
+    ]
+
+
 def _clause_terms(
     spark: SparkSession,
     dictionary: DataFrame,
@@ -676,6 +690,7 @@ def _indexed_search(
     doc_attrs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     from keywords4cv_spark.query.phrase import proximity_search
+    from keywords4cv_spark.query.wand import bm25_wand
 
     parsed = {qid: parse_query(s) for qid, s in queries}
 
@@ -686,11 +701,40 @@ def _indexed_search(
     cterm = _clause_terms(
         spark, dictionary, parsed, max_expansions, fuzzy_max_expansions
     )
-    if cterm is not None:
+
+    # ---- WAND fast path: pure-disjunctive queries -------------------
+    # A query whose every clause is a scoring SHOULD (term/prefix/fuzzy
+    # — no musts, nots, phrases or filters) is exactly the Block-Max
+    # WAND problem; route it there so the common case gets block-skip
+    # pruning instead of a full decode of its terms' postings. Clause
+    # boosts map to WAND term weights (both scale idf, and the weight
+    # scales the stored block-max bound, so pruning stays exact).
+    wand_qids = wand_eligible_qids(parsed)
+    ranked_w = None
+    if wand_qids and cterm is not None:
+        triples = [
+            (int(r["query_id"]), r["term"], float(r["boost"]))
+            for r in cterm.filter(F.col("query_id").isin(wand_qids))
+            .groupBy("query_id", "term")
+            .agg(F.max("boost").alias("boost"))
+            .collect()  # expansion-capped: ≤ max_expansions·|clauses| rows
+        ]
+        if triples:
+            ranked_w = bm25_wand(spark, index, cfg, k, queries=triples)
+        parsed_gen = {q: cs for q, cs in parsed.items() if q not in set(wand_qids)}
+        cterm_gen = cterm.filter(~F.col("query_id").isin(wand_qids))
+        if not any(
+            c.kind in ("term", "prefix", "fuzzy") for cs in parsed_gen.values() for c in cs
+        ):
+            cterm_gen = None
+    else:
+        parsed_gen, cterm_gen = parsed, cterm
+
+    if cterm_gen is not None:
         posts = _decode_postings(
-            spark, index, cterm.select("term_id").distinct()
+            spark, index, cterm_gen.select("term_id").distinct()
         )
-        joined = posts.join(F.broadcast(cterm), "term_id").persist()
+        joined = posts.join(F.broadcast(cterm_gen), "term_id").persist()
         srow = index.stats_row()
         scored = (
             joined.filter(F.col("occur") != MUST_NOT)
@@ -712,7 +756,7 @@ def _indexed_search(
     # ---- phrase clauses: positional-index proximity search ----------
     phrase_clauses = [
         (qid, cid, c)
-        for qid, cs in parsed.items()
+        for qid, cs in parsed_gen.items()
         for cid, c in enumerate(cs)
         if c.kind == "phrase"
     ]
@@ -736,7 +780,10 @@ def _indexed_search(
 
     hits = thits.unionByName(phits)
     attrs = doc_attrs if doc_attrs is not None else index.docmeta
-    return _boolean_rank(spark, parsed, hits, scored, k, attrs=attrs), cterm
+    ranked = _boolean_rank(spark, parsed_gen, hits, scored, k, attrs=attrs)
+    if ranked_w is not None:
+        ranked = ranked.unionByName(ranked_w)
+    return ranked, cterm
 
 
 # ---------------------------------------------------------------------------

@@ -260,3 +260,45 @@ def test_extended_grammar_indexed_rank_identical(spark, sf_dir):
     }
     assert want
     assert got == want
+
+
+def test_wand_fast_path_routing_and_identity(spark, sf_dir):
+    """Pure-disjunctive query strings route to Block-Max WAND (unit:
+    eligibility predicate) and stay rank-identical to the index-free
+    executor across boosts and dictionary expansions."""
+    from keywords4cv_spark.driver_queries import (
+        _docs,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import (
+        search_query_strings_indexed,
+        wand_eligible_qids,
+    )
+
+    qs = [
+        (0, "merge join"),          # plain disjunction
+        (1, "mer* stream^2"),       # prefix expansion + boost
+        (2, "spark^3 qurey~"),      # boost + fuzzy expansion
+        (3, "zzznope"),             # absent term → empty
+    ]
+    parsed = {qid: parse_query(s) for qid, s in qs}
+    assert wand_eligible_qids(parsed) == [0, 1, 2, 3]
+    # ineligible shapes: must, not, phrase, filter
+    for bad in ["+merge join", "merge -slow", '"merge join"', "source:src1 merge"]:
+        assert wand_eligible_qids({9: parse_query(bad)}) == []
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings(spark, _docs(spark, sf_dir), qs, icfg).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings_indexed(
+            spark, index, pos_index, qs, icfg
+        ).collect()
+    }
+    assert want
+    assert got == want
