@@ -786,6 +786,72 @@ def _indexed_search(
     return ranked, cterm
 
 
+def explain_query_strings(
+    spark: SparkSession,
+    index,
+    pos_index,
+    queries: list[tuple[int, str]],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = TOP_K,
+    max_expansions: int = MAX_EXPANSIONS,
+    fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+    doc_attrs: DataFrame | None = None,
+) -> DataFrame:
+    """Score decomposition for query-string hits — the parser-level
+    `explain` API: one row per (query, hit, matched scoring term) with
+    tf, df, the clause boost actually applied (max across contributing
+    clauses) and the term's boosted contribution, next to the hit's
+    total score + rank. The hit set comes from the full boolean
+    executor (filters/phrases included); contributions are recomputed
+    from the same decode and BROADCAST-joined against the |Q|·k hit
+    relation, so the explain adds no extra shuffle and output is
+    bounded by |Q|·k·|expanded terms| regardless of corpus size.
+    Hits with no scoring terms (phrase/filter-only queries) explain as
+    zero rows, matching their constant-score 0.0.
+    """
+    from keywords4cv_spark.query.bm25 import SCORE_DECIMALS
+
+    ranked, cterm = _indexed_search(
+        spark,
+        index,
+        pos_index,
+        queries,
+        cfg,
+        k,
+        max_expansions,
+        fuzzy_max_expansions,
+        doc_attrs,
+    )
+    out_schema = (
+        "query_id long, rank int, doc_id long, term string, tf long,"
+        " df long, boost double, contribution double, score double"
+    )
+    if cterm is None:
+        return spark.createDataFrame([], out_schema)
+    scoring = cterm.filter(F.col("occur") != MUST_NOT)
+    posts = _decode_postings(spark, index, scoring.select("term_id").distinct())
+    srow = index.stats_row()
+    per_term = (
+        posts.join(F.broadcast(scoring), "term_id")
+        .groupBy("query_id", "term", "doc_id", "tf", "dl", "df")
+        .agg(F.max("boost").alias("boost"))
+        .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+        .withColumn("avgdl", F.lit(float(srow["avgdl"])))
+        .withColumn("contribution", bm25_score_col(cfg) * F.col("boost"))
+    )
+    return per_term.join(F.broadcast(ranked), ["query_id", "doc_id"]).select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "boost",
+        F.round("contribution", SCORE_DECIMALS).alias("contribution"),
+        "score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generator — the SQL twin of search_query_strings
 # ---------------------------------------------------------------------------

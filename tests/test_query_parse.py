@@ -302,3 +302,43 @@ def test_wand_fast_path_routing_and_identity(spark, sf_dir):
     }
     assert want
     assert got == want
+
+
+def test_explain_query_strings_decomposes_scores(spark, sf_dir):
+    """explain rows reconstruct each hit's score: per-(hit, term)
+    boosted contributions sum to the ranked score (within the
+    round(·,6) convention), boosts surface verbatim, and phrase-only
+    hits (constant score 0) explain as zero rows."""
+    from keywords4cv_spark.driver_queries import (
+        _QS_QUERIES,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import (
+        explain_query_strings,
+        search_query_strings_indexed,
+    )
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    qs = _QS_QUERIES + [(10, "merge^3 join")]
+    hits = search_query_strings_indexed(
+        spark, index, pos_index, qs, icfg
+    ).collect()
+    rows = explain_query_strings(spark, index, pos_index, qs, icfg).collect()
+    assert rows
+
+    by_hit: dict[tuple[int, int], list] = {}
+    for r in rows:
+        by_hit.setdefault((r.query_id, r.doc_id), []).append(r)
+    for h in hits:
+        parts = by_hit.get((h.query_id, h.doc_id), [])
+        if h.score == 0.0:
+            assert parts == [], (h, parts)
+            continue
+        assert parts, h
+        assert abs(sum(p.contribution for p in parts) - h.score) < 1e-4, h
+        assert all(p.rank == h.rank for p in parts)
+    # the boosted query's 'merge' rows carry boost 3.0
+    boosted = [r for r in rows if r.query_id == 10 and r.term == "merge"]
+    assert boosted and all(r.boost == 3.0 for r in boosted)
