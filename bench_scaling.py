@@ -96,6 +96,84 @@ def membw_ceiling(levels=LEVELS, seconds: float = 2.0) -> float:
     return statistics.median(samples[hi]) / statistics.median(samples[lo])
 
 
+def workload_ceiling(corpus: str, levels=LEVELS, seconds: float = 2.0) -> float:
+    """Measured speedup of the build's dominant kernel, outside Spark.
+
+    Runs the exact fused tokenize+tf batch kernel
+    (index/build.py:term_frequencies_fused's inner loop: regex
+    tokenize, n-gram generation, one pandas hash-groupby per batch)
+    over real corpus text in a bare multiprocessing pool at the two
+    thread counts. This is the most representative same-box ceiling:
+    a mixed instruction/DRAM workload, unlike the pure busy-loop
+    (cpu_ceiling) or pure copy (membw_ceiling) bounds. If the Spark
+    build's measured speedup matches THIS number, the loss is the
+    box's memory system, not the plan.
+    """
+    import glob
+    import multiprocessing as mp
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    texts: list[str] = []
+    for fp in files:
+        texts.extend(
+            pq.read_table(fp, columns=["text"]).column("text").to_pylist()
+        )
+        if len(texts) >= 2000:
+            break
+    texts = texts[:2000]
+    samples: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(3):
+        for n in levels:
+            with mp.Pool(n) as p:
+                docs_total = sum(
+                    p.map(_tf_burn, [(texts, seconds)] * n)
+                )
+                samples[n].append(docs_total / seconds)
+    lo, hi = levels
+    return statistics.median(samples[hi]) / statistics.median(samples[lo])
+
+
+def _tf_burn(args) -> int:
+    # module-level: mp.Pool can't pickle a closure
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    from keywords4cv_spark.config import EngineConfig
+    from keywords4cv_spark.textprep.normalize import generate_ngrams, tokenize
+
+    texts, seconds = args
+    cfg = EngineConfig()
+    batch = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    t0 = _t.time()
+    n_docs = 0
+    while _t.time() - t0 < seconds:
+        toks = [tokenize(t, cfg.min_token_len, cfg.stopwords) for t in batch["text"]]
+        terms = (
+            [generate_ngrams(t, cfg.ngram_lo, cfg.ngram_hi) for t in toks]
+            if cfg.ngram_hi > 1
+            else toks
+        )
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        i = 0
+        for t in terms:
+            flat[i : i + len(t)] = t
+            i += len(t)
+        d_idx = np.repeat(np.arange(len(terms)), lens)
+        rows = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()[d_idx], "term": flat})
+        rows.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        n_docs += len(batch)
+    return n_docs
+
+
 def _copy_burn(seconds: float) -> int:
     import time as _t
 
@@ -191,18 +269,31 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--corpus", default=CORPUS_DEFAULT)
+    ap.add_argument(
+        "--levels",
+        default=None,
+        help="lo,hi thread counts (default 4,16). 2,8 stays below the "
+        "box's DRAM-contention knee — the closest analog to N→4N "
+        "executors that each bring their own memory bus.",
+    )
+    ap.add_argument(
+        "--no-report", action="store_true", help="skip rewriting BENCH/BASELINE.md"
+    )
     args = ap.parse_args()
 
     if args.worker:
         worker(args.worker, args.corpus)
         return
 
+    levels = (
+        tuple(int(x) for x in args.levels.split(",")) if args.levels else LEVELS
+    )
     ensure_corpus(args.corpus, args.docs)
     # interleave repeats (8,32,8,32,...) and keep each level's best run:
     # the sandbox shares cores with the harness, so single runs are noisy
     results: dict[int, dict] = {}
     for _ in range(args.repeats):
-        for cpus in LEVELS:
+        for cpus in levels:
             out = subprocess.run(
                 [sys.executable, __file__, "--worker", str(cpus), "--corpus", args.corpus],
                 capture_output=True,
@@ -213,9 +304,10 @@ def main() -> None:
             if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
                 results[cpus] = r
 
-    lo, hi = LEVELS
-    ceiling = cpu_ceiling()
-    membw = membw_ceiling()
+    lo, hi = levels
+    ceiling = cpu_ceiling(levels)
+    membw = membw_ceiling(levels)
+    kernel = workload_ceiling(args.corpus, levels)
     speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
     summary = {
         "metric": "index-build docs/sec at two parallelism levels + scaling efficiency",
@@ -223,17 +315,20 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "cpu_ceiling_speedup": round(ceiling, 3),
         "membw_ceiling_speedup": round(membw, 3),
+        "kernel_ceiling_speedup": round(kernel, 3),
         "scaling_efficiency_vs_nominal_4x": round(speedup / (hi / lo), 3),
         "scaling_efficiency_vs_hw_ceiling": round(speedup / ceiling, 3),
+        "scaling_efficiency_vs_kernel_ceiling": round(speedup / kernel, 3),
         "unit": "docs/sec",
     }
     print(json.dumps(summary))
-    write_report(summary)
+    if not args.no_report:
+        write_report(summary)
 
 
 def write_report(s: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
-    lo, hi = LEVELS
+    lo, hi = sorted(s["levels"])
     r8, r32 = s["levels"][lo], s["levels"][hi]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (north_rule two-cluster-size criterion)
@@ -253,7 +348,10 @@ best per level — the sandbox shares cores with the build harness):
 
 Measured same-box ceilings for the {lo}→{hi} step (multiprocessing, no
 Spark): pure-CPU busy-loop **{s["cpu_ceiling_speedup"]}×**, DRAM
-copy-bandwidth **{s["membw_ceiling_speedup"]}×**. So:
+copy-bandwidth **{s["membw_ceiling_speedup"]}×**, and the build's own
+dominant kernel (the fused tokenize+tf batch loop from
+index/build.py:term_frequencies_fused, run bare in a process pool over
+the same corpus text) **{s.get("kernel_ceiling_speedup", "n/a")}×**. So:
 
 - efficiency vs nominal {hi // lo}×: **{s["scaling_efficiency_vs_nominal_4x"]}**
 - efficiency vs the measured compute ceiling:
@@ -264,6 +362,12 @@ copy-bandwidth **{s["membw_ceiling_speedup"]}×**. So:
   is a byte-moving job (shuffle + cache + parquet), and its thread
   scaling tracks what this box's shared DRAM actually grants extra
   threads.
+- efficiency vs the build's own kernel run bare (no Spark, no shuffle,
+  no JVM — just the dominant tokenize+tf loop in a process pool):
+  **{round(s["speedup"] / s["kernel_ceiling_speedup"], 3) if s.get("kernel_ceiling_speedup") else "n/a"}**.
+  This is the cleanest attribution: whatever the bare kernel loses to
+  the box at {hi} processes is hardware contention by definition — a
+  Spark plan cannot beat its own kernel's scaling on the same silicon.
 
 Round-over-round (same corpus shape/seed): r1 measured 4,669 / 8,218
 docs/s at local[{lo}]/local[{hi}] with p50 query 4.2 s; this round is

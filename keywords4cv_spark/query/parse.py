@@ -15,6 +15,13 @@ syntax         meaning
 ``pre*``       prefix expansion over the dictionary (Lucene
                PrefixQuery; capped at ``max_expansions``,
                lexicographically-first terms)
+``te*t``       wildcard expansion (``*`` = any run, ``?`` = one
+               char, any position incl. leading; Lucene
+               WildcardQuery; capped like prefix). A trailing-star
+               pattern with no other wildcard stays a prefix clause
+               (range-prunable); other patterns scan the dictionary
+               (|V|-bounded, never postings) with the literal prefix,
+               when present, pushed down for rowgroup pruning
 ``term~``      fuzzy expansion, levenshtein distance ≤ 2 (``~1`` for
                distance 1; Lucene FuzzyQuery; capped at
                ``fuzzy_max_expansions`` by (distance, df desc, term))
@@ -34,7 +41,7 @@ Scale shape: the parsed clause set is query-bounded and broadcast
 everywhere; the corpus is touched by ONE tokenize pass (persisted and
 shared by the tf, dictionary and positional branches) and one
 broadcast-hash join of tf against the expanded clause-term table.
-Prefix/fuzzy expansion is dictionary work only (|V|-bounded range /
+Prefix/wildcard/fuzzy expansion is dictionary work only (|V|-bounded range /
 length-band scans — never a postings pass), identical to
 ``prefix_query`` / ``term_suggest_fuzzy``. Phrase chains are one
 pushed-down position filter per phrase term, bounded by the query
@@ -77,11 +84,11 @@ _OCCUR = {"": SHOULD, "+": MUST, "-": MUST_NOT}
 @dataclass(frozen=True)
 class Clause:
     occur: str  # should | must | must_not
-    kind: str  # term | phrase | prefix | fuzzy | filter | range
+    kind: str  # term | phrase | prefix | wildcard | fuzzy | filter | range
     terms: tuple[str, ...]  # normalized; len >= 2 only for phrase
     slop: int = 0  # phrase only
     dist: int = FUZZY_MAX_DIST  # fuzzy only
-    boost: float = 1.0  # term/prefix/fuzzy only (phrases are filter-only)
+    boost: float = 1.0  # term/prefix/wildcard/fuzzy (phrases are filter-only)
     field: str | None = None  # filter/range only
     lo: float | None = None  # range only (None = unbounded)
     hi: float | None = None  # range only
@@ -102,6 +109,24 @@ def _range_bound(tok: str) -> float | None:
     return None if tok == "*" else float(tok)
 
 
+def _wildcard_pattern(raw: str) -> str:
+    """Normalize a wildcard token: literal segments go through the
+    engine tokenizer's fold (so they match indexed terms exactly),
+    wildcard chars survive in place, `*` runs collapse. Returns ""
+    (caller drops the clause) when no literal text remains — a pure
+    `*`/`?` pattern is Lucene's MatchAll/ambiguous case, out of scope.
+    Dictionary terms never contain SQL-LIKE metacharacters (`%`/`_`
+    are outside the tokenizer alphabet), so the LIKE translation in
+    the executors needs no escape handling."""
+    parts = re.split(r"([*?])", raw)
+    folded = [
+        p if p in ("*", "?") else normalize_text(p).replace(" ", "")
+        for p in parts
+    ]
+    pattern = re.sub(r"\*+", "*", "".join(folded))
+    return pattern if pattern.strip("*?") else ""
+
+
 def parse_query(q: str) -> list[Clause]:
     """Query string → clause list; terms go through the engine
     tokenizer so they fold exactly like indexed text. Clauses whose
@@ -113,7 +138,7 @@ def parse_query(q: str) -> list[Clause]:
     ``field:[lo TO hi]`` (numeric range, ``*`` = unbounded) — are
     Lucene filter context: non-scoring, coerced to MUST (``-`` makes
     them MUST_NOT; a bare filter never scores). ``^N`` boosts a
-    term/prefix/fuzzy clause's score contribution (parsed-but-inert on
+    term/prefix/wildcard/fuzzy clause's score contribution (parsed-but-inert on
     phrases, which are filter-only here)."""
     clauses: list[Clause] = []
     for m in _CLAUSE_RE.finditer(q):
@@ -163,10 +188,16 @@ def parse_query(q: str) -> list[Clause]:
                 )
             )
             continue
-        if raw.endswith("*") and len(raw) > 1:
-            prefix = normalize_text(raw[:-1]).replace(" ", "")
-            if prefix:
-                clauses.append(Clause(occur, "prefix", (prefix,), boost=boost))
+        if ("*" in raw or "?" in raw) and len(raw) > 1:
+            if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw:
+                # simple trailing star: PrefixQuery (term-range prunable)
+                prefix = normalize_text(raw[:-1]).replace(" ", "")
+                if prefix:
+                    clauses.append(Clause(occur, "prefix", (prefix,), boost=boost))
+            else:
+                pattern = _wildcard_pattern(raw)
+                if pattern:
+                    clauses.append(Clause(occur, "wildcard", (pattern,), boost=boost))
             continue
         fm2 = _FUZZY_RE.match(raw)
         if fm2 and fm2.group(1):
@@ -220,7 +251,8 @@ def wand_eligible_qids(parsed: dict[int, list[Clause]]) -> list[int]:
         for qid, cs in parsed.items()
         if cs
         and all(
-            c.occur == SHOULD and c.kind in ("term", "prefix", "fuzzy")
+            c.occur == SHOULD
+            and c.kind in ("term", "prefix", "wildcard", "fuzzy")
             for c in cs
         )
     ]
@@ -278,6 +310,40 @@ def _clause_terms(
         w = Window.partitionBy("query_id", "clause_id").orderBy("term")
         parts.append(
             dictionary.join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_expansions)
+            .select(*out_cols)
+        )
+
+    wc_rows = [
+        (
+            qid,
+            cid,
+            c.occur,
+            # LIKE translation + the literal prefix (may be "") for
+            # dictionary rowgroup pruning; terms contain no %/_ so the
+            # translation is collision-free (see _wildcard_pattern)
+            c.terms[0].replace("*", "%").replace("?", "_"),
+            re.split(r"[*?]", c.terms[0])[0],
+            c.boost,
+        )
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "wildcard"
+    ]
+    if wc_rows:
+        wdf = spark.createDataFrame(
+            wc_rows,
+            "query_id long, clause_id long, occur string, pat string,"
+            " pre string, boost double",
+        )
+        w = Window.partitionBy("query_id", "clause_id").orderBy("term")
+        parts.append(
+            dictionary.join(
+                F.broadcast(wdf),
+                F.col("term").startswith(F.col("pre"))
+                & F.expr("term LIKE pat"),
+            )
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= max_expansions)
             .select(*out_cols)
@@ -342,7 +408,7 @@ def _boolean_rank(
     candidate set); term-like MUSTs intersect with the filter set;
     negative filters exclude like must_not terms.
     """
-    termlike = {"term", "phrase", "prefix", "fuzzy"}
+    termlike = {"term", "phrase", "prefix", "wildcard", "fuzzy"}
 
     def _pred(cs: list[Clause], positive: bool) -> F.Column | None:
         """Conjunction (positive) / disjunction (negative) of a query's
@@ -645,7 +711,7 @@ def search_with_snippets(
     """The full search response: indexed query-string retrieval plus a
     highlighted snippet per hit — (query_id, rank, doc_id, score,
     win_start, n_terms). Highlight terms are the query's scoring terms
-    (literals + prefix/fuzzy expansions); the window picker reads ONLY
+    (literals + prefix/wildcard/fuzzy expansions); the window picker reads ONLY
     the hit docs' position streams from the positional index
     (query/snippets.py), so highlighting cost is k·|queries|-bounded.
     Hits whose clauses are all phrases/must_nots have no highlight
@@ -724,7 +790,9 @@ def _indexed_search(
         parsed_gen = {q: cs for q, cs in parsed.items() if q not in set(wand_qids)}
         cterm_gen = cterm.filter(~F.col("query_id").isin(wand_qids))
         if not any(
-            c.kind in ("term", "prefix", "fuzzy") for cs in parsed_gen.values() for c in cs
+            c.kind in ("term", "prefix", "wildcard", "fuzzy")
+            for cs in parsed_gen.values()
+            for c in cs
         ):
             cterm_gen = None
     else:
@@ -913,7 +981,7 @@ def query_string_oracle(
     (the same corpus restriction as the tokenize CTE).
     """
     parsed = {qid: parse_query(s) for qid, s in queries}
-    termlike = {"term", "phrase", "prefix", "fuzzy"}
+    termlike = {"term", "phrase", "prefix", "wildcard", "fuzzy"}
 
     def row(qid: int, cid: int, occur: str, sel: str) -> str:
         return (
@@ -934,6 +1002,13 @@ def query_string_oracle(
                 cterm_parts.append(
                     row(qid, cid, c.occur, f"term, {boost_sel}")
                     + f" FROM (SELECT term FROM dict WHERE term LIKE '{c.terms[0]}%'"
+                    f" ORDER BY term LIMIT {max_expansions})"
+                )
+            elif c.kind == "wildcard":
+                like = c.terms[0].replace("*", "%").replace("?", "_")
+                cterm_parts.append(
+                    row(qid, cid, c.occur, f"term, {boost_sel}")
+                    + f" FROM (SELECT term FROM dict WHERE term LIKE '{like}'"
                     f" ORDER BY term LIMIT {max_expansions})"
                 )
             elif c.kind == "fuzzy":

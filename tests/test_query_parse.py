@@ -204,7 +204,26 @@ _EXT_QUERIES = [
     (2, "+join -source:src0"),            # termlike must + negative filter
     (3, "n_chars:[200 TO 400] merge^2"),  # numeric range + boosted should
     (4, "merge^3 join"),                  # boost reweights the BM25 sum
+    (5, "m?rge"),                         # single-char wildcard
+    (6, "*ream^2 join"),                  # leading-star wildcard + boost
+    (7, "+s*eam -source:src0"),           # wildcard as MUST + neg filter
 ]
+
+
+def test_parse_wildcards():
+    assert parse_query("m?rge")[0] == Clause("should", "wildcard", ("m?rge",))
+    assert parse_query("*ream^2")[0] == Clause(
+        "should", "wildcard", ("*ream",), boost=2.0
+    )
+    # internal star + trailing star is wildcard, not prefix; ** collapses
+    assert parse_query("s*eam**")[0] == Clause("should", "wildcard", ("s*eam*",))
+    # simple trailing star stays a (range-prunable) prefix clause
+    assert parse_query("mer*")[0].kind == "prefix"
+    # literal segments fold through the tokenizer; pure wildcards drop
+    assert parse_query("M?RGE")[0].terms == ("m?rge",)
+    assert parse_query("*") == []
+    assert parse_query("?*") == []
+    assert parse_query("-st?eam")[0].occur == "must_not"
 
 
 def test_extended_grammar_matches_generated_oracle(spark, sf_dir):
@@ -281,9 +300,10 @@ def test_wand_fast_path_routing_and_identity(spark, sf_dir):
         (1, "mer* stream^2"),       # prefix expansion + boost
         (2, "spark^3 qurey~"),      # boost + fuzzy expansion
         (3, "zzznope"),             # absent term → empty
+        (4, "st?eam m*ge^2"),       # wildcard expansions
     ]
     parsed = {qid: parse_query(s) for qid, s in qs}
-    assert wand_eligible_qids(parsed) == [0, 1, 2, 3]
+    assert wand_eligible_qids(parsed) == [0, 1, 2, 3, 4]
     # ineligible shapes: must, not, phrase, filter
     for bad in ["+merge join", "merge -slow", '"merge join"', "source:src1 merge"]:
         assert wand_eligible_qids({9: parse_query(bad)}) == []
