@@ -54,11 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # window froze, each pytest-pinned vs its oracle) form the ENTIRE r6
 # rotation debt: rotate them to the front in round 6 (exactly 50, so
 # round 6 must add ZERO new gated queries — put ALL further surface
-# growth behind pytest-only pins until r7). The wildcard clause kind
-# (query/parse.py, r5-late) changes query_string_search's PARSER but
-# not its fixture queries (no wildcards in _QS_QUERIES), so its gate
-# row stays valid; wildcard semantics are pinned value-level by
-# tests/test_query_parse.py's generated-oracle + rank-identity tests.
+# growth behind pytest-only pins until r7). The wildcard and regexp
+# clause kinds (query/parse.py, r5-late) change query_string_search's
+# PARSER but not its fixture queries (no wildcards/regexps in
+# _QS_QUERIES), so its gate row stays valid; wildcard + regexp
+# semantics are pinned value-level by tests/test_query_parse.py's
+# generated-oracle + rank-identity tests (_EXT_QUERIES 5-10).
 _GATE_PRIORITY = [
     # --- r5 gate window (50) ---
     "bm25_recrawl_topk",

@@ -25,6 +25,15 @@ syntax         meaning
 ``term~``      fuzzy expansion, levenshtein distance ≤ 2 (``~1`` for
                distance 1; Lucene FuzzyQuery; capped at
                ``fuzzy_max_expansions`` by (distance, df desc, term))
+``/re.ex/``    regexp expansion (Lucene RegexpQuery): the pattern is
+               anchored (must match the ENTIRE term) and evaluated
+               over the dictionary only, with the pattern's literal
+               prefix, when present, pushed down for rowgroup
+               pruning; capped like prefix. Write patterns in the
+               normalized term alphabet (lowercase); stick to the
+               Java-regex ∩ RE2 common subset (classes, alternation,
+               quantifiers — no backrefs/lookaround), which is what
+               the DuckDB oracle can mirror
 =============  =====================================================
 
 Matching is Lucene BooleanQuery semantics: a doc is a candidate iff
@@ -41,7 +50,7 @@ Scale shape: the parsed clause set is query-bounded and broadcast
 everywhere; the corpus is touched by ONE tokenize pass (persisted and
 shared by the tf, dictionary and positional branches) and one
 broadcast-hash join of tf against the expanded clause-term table.
-Prefix/wildcard/fuzzy expansion is dictionary work only (|V|-bounded range /
+Prefix/wildcard/regexp/fuzzy expansion is dictionary work only (|V|-bounded range /
 length-band scans — never a postings pass), identical to
 ``prefix_query`` / ``term_suggest_fuzzy``. Phrase chains are one
 pushed-down position filter per phrase term, bounded by the query
@@ -84,11 +93,11 @@ _OCCUR = {"": SHOULD, "+": MUST, "-": MUST_NOT}
 @dataclass(frozen=True)
 class Clause:
     occur: str  # should | must | must_not
-    kind: str  # term | phrase | prefix | wildcard | fuzzy | filter | range
+    kind: str  # term | phrase | prefix | wildcard | regexp | fuzzy | filter | range
     terms: tuple[str, ...]  # normalized; len >= 2 only for phrase
     slop: int = 0  # phrase only
     dist: int = FUZZY_MAX_DIST  # fuzzy only
-    boost: float = 1.0  # term/prefix/wildcard/fuzzy (phrases are filter-only)
+    boost: float = 1.0  # term/prefix/wildcard/regexp/fuzzy (phrases are filter-only)
     field: str | None = None  # filter/range only
     lo: float | None = None  # range only (None = unbounded)
     hi: float | None = None  # range only
@@ -98,6 +107,7 @@ _CLAUSE_RE = re.compile(
     r'([+-]?)'
     r'(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'  # phrase [~slop][^boost]
     r"|(\w+):\[([^\]]*)\]"  #                            field:[lo TO hi]
+    r"|/((?:[^/\\]|\\.)*)/(?:\^(\d+(?:\.\d+)?))?"  #     /regexp/ [^boost]
     r"|(\S+))"  #                                        bare token
 )
 _FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
@@ -127,6 +137,25 @@ def _wildcard_pattern(raw: str) -> str:
     return pattern if pattern.strip("*?") else ""
 
 
+_REGEX_METAS = set(".^$*+?{}[]|()\\")
+
+
+def _regexp_literal_prefix(pat: str) -> str:
+    """Longest prefix of ``pat`` every match must start with: the run
+    of literal characters before the first regex metacharacter. The
+    run's last character is excluded when the stopping metachar is a
+    may-match-zero quantifier (``*``, ``?``, ``{``) — ``ab*c`` matches
+    "ac", so only "a" is a safe pruning prefix — but kept for ``+``
+    (at-least-once). Used ONLY to prune the dictionary scan; the
+    anchored pattern still decides membership."""
+    i = 0
+    while i < len(pat) and pat[i] not in _REGEX_METAS:
+        i += 1
+    if i < len(pat) and pat[i] in "*?{" and i > 0:
+        i -= 1
+    return pat[:i]
+
+
 def parse_query(q: str) -> list[Clause]:
     """Query string → clause list; terms go through the engine
     tokenizer so they fold exactly like indexed text. Clauses whose
@@ -138,7 +167,7 @@ def parse_query(q: str) -> list[Clause]:
     ``field:[lo TO hi]`` (numeric range, ``*`` = unbounded) — are
     Lucene filter context: non-scoring, coerced to MUST (``-`` makes
     them MUST_NOT; a bare filter never scores). ``^N`` boosts a
-    term/prefix/wildcard/fuzzy clause's score contribution (parsed-but-inert on
+    term/prefix/wildcard/regexp/fuzzy clause's score contribution (parsed-but-inert on
     phrases, which are filter-only here)."""
     clauses: list[Clause] = []
     for m in _CLAUSE_RE.finditer(q):
@@ -172,7 +201,17 @@ def parse_query(q: str) -> list[Clause]:
                     )
                 )
             continue
-        raw = m.group(7)
+        if m.group(7) is not None:  # /regexp/ [^boost]
+            pat = m.group(7)
+            boost = float(m.group(8) or 1.0)
+            try:
+                re.compile(pat)
+            except re.error:
+                continue  # malformed pattern: drop the clause (Lucene throws)
+            if pat and pat.strip(".*?+()"):
+                clauses.append(Clause(occur, "regexp", (pat,), boost=boost))
+            continue
+        raw = m.group(9)
         bm = _BOOST_RE.match(raw)
         boost = 1.0
         if bm and bm.group(1):
@@ -252,7 +291,7 @@ def wand_eligible_qids(parsed: dict[int, list[Clause]]) -> list[int]:
         if cs
         and all(
             c.occur == SHOULD
-            and c.kind in ("term", "prefix", "wildcard", "fuzzy")
+            and c.kind in ("term", "prefix", "wildcard", "regexp", "fuzzy")
             for c in cs
         )
     ]
@@ -349,6 +388,39 @@ def _clause_terms(
             .select(*out_cols)
         )
 
+    rx_rows = [
+        (
+            qid,
+            cid,
+            c.occur,
+            # anchored: Lucene RegexpQuery matches the ENTIRE term
+            # (Java Matcher.matches() / DuckDB regexp_full_match)
+            "^(?:" + c.terms[0] + ")$",
+            _regexp_literal_prefix(c.terms[0]),
+            c.boost,
+        )
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "regexp"
+    ]
+    if rx_rows:
+        rdf = spark.createDataFrame(
+            rx_rows,
+            "query_id long, clause_id long, occur string, pat string,"
+            " pre string, boost double",
+        )
+        w = Window.partitionBy("query_id", "clause_id").orderBy("term")
+        parts.append(
+            dictionary.join(
+                F.broadcast(rdf),
+                F.col("term").startswith(F.col("pre"))
+                & F.expr("term RLIKE pat"),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_expansions)
+            .select(*out_cols)
+        )
+
     fuz_rows = [
         (qid, cid, c.occur, c.terms[0], c.dist, c.boost)
         for qid, cs in parsed.items()
@@ -408,7 +480,7 @@ def _boolean_rank(
     candidate set); term-like MUSTs intersect with the filter set;
     negative filters exclude like must_not terms.
     """
-    termlike = {"term", "phrase", "prefix", "wildcard", "fuzzy"}
+    termlike = {"term", "phrase", "prefix", "wildcard", "regexp", "fuzzy"}
 
     def _pred(cs: list[Clause], positive: bool) -> F.Column | None:
         """Conjunction (positive) / disjunction (negative) of a query's
@@ -711,7 +783,7 @@ def search_with_snippets(
     """The full search response: indexed query-string retrieval plus a
     highlighted snippet per hit — (query_id, rank, doc_id, score,
     win_start, n_terms). Highlight terms are the query's scoring terms
-    (literals + prefix/wildcard/fuzzy expansions); the window picker reads ONLY
+    (literals + prefix/wildcard/regexp/fuzzy expansions); the window picker reads ONLY
     the hit docs' position streams from the positional index
     (query/snippets.py), so highlighting cost is k·|queries|-bounded.
     Hits whose clauses are all phrases/must_nots have no highlight
@@ -790,7 +862,7 @@ def _indexed_search(
         parsed_gen = {q: cs for q, cs in parsed.items() if q not in set(wand_qids)}
         cterm_gen = cterm.filter(~F.col("query_id").isin(wand_qids))
         if not any(
-            c.kind in ("term", "prefix", "wildcard", "fuzzy")
+            c.kind in ("term", "prefix", "wildcard", "regexp", "fuzzy")
             for cs in parsed_gen.values()
             for c in cs
         ):
@@ -981,7 +1053,7 @@ def query_string_oracle(
     (the same corpus restriction as the tokenize CTE).
     """
     parsed = {qid: parse_query(s) for qid, s in queries}
-    termlike = {"term", "phrase", "prefix", "wildcard", "fuzzy"}
+    termlike = {"term", "phrase", "prefix", "wildcard", "regexp", "fuzzy"}
 
     def row(qid: int, cid: int, occur: str, sel: str) -> str:
         return (
@@ -1009,6 +1081,14 @@ def query_string_oracle(
                 cterm_parts.append(
                     row(qid, cid, c.occur, f"term, {boost_sel}")
                     + f" FROM (SELECT term FROM dict WHERE term LIKE '{like}'"
+                    f" ORDER BY term LIMIT {max_expansions})"
+                )
+            elif c.kind == "regexp":
+                pat = c.terms[0].replace("'", "''")
+                cterm_parts.append(
+                    row(qid, cid, c.occur, f"term, {boost_sel}")
+                    + f" FROM (SELECT term FROM dict"
+                    f" WHERE regexp_full_match(term, '{pat}')"
                     f" ORDER BY term LIMIT {max_expansions})"
                 )
             elif c.kind == "fuzzy":

@@ -207,6 +207,9 @@ _EXT_QUERIES = [
     (5, "m?rge"),                         # single-char wildcard
     (6, "*ream^2 join"),                  # leading-star wildcard + boost
     (7, "+s*eam -source:src0"),           # wildcard as MUST + neg filter
+    (8, "/m[ae]rge/"),                    # regexp, char class
+    (9, "/st(r|d)eam/^2 join"),           # regexp, alternation + boost
+    (10, "+/jo.n/ -source:src0"),         # regexp as MUST + neg filter
 ]
 
 
@@ -224,6 +227,34 @@ def test_parse_wildcards():
     assert parse_query("*") == []
     assert parse_query("?*") == []
     assert parse_query("-st?eam")[0].occur == "must_not"
+
+
+def test_parse_regexp():
+    from keywords4cv_spark.query.parse import _regexp_literal_prefix
+
+    assert parse_query("/m[ae]rge/")[0] == Clause(
+        "should", "regexp", ("m[ae]rge",)
+    )
+    assert parse_query("/st(r|d)eam/^2")[0] == Clause(
+        "should", "regexp", ("st(r|d)eam",), boost=2.0
+    )
+    assert parse_query("-/jo.n/")[0].occur == "must_not"
+    assert parse_query("+/jo.n/")[0].occur == "must"
+    # malformed, empty, and match-all patterns drop
+    assert parse_query("/[a-/") == []
+    assert parse_query("//") == []
+    assert parse_query("/.*/") == []
+    # a URL-shaped bare token is NOT a regexp clause (no leading slash;
+    # it parses as a field filter, Lucene's reading of `http:...`)
+    assert parse_query("http://foo/bar")[0].kind == "filter"
+    # pruning prefix: literal run, stopped at the first metachar; the
+    # last literal is excluded under a may-match-zero quantifier
+    assert _regexp_literal_prefix("merg(e|es)") == "merg"
+    assert _regexp_literal_prefix("ab*c") == "a"
+    assert _regexp_literal_prefix("ab+c") == "ab"
+    assert _regexp_literal_prefix("ab?c") == "a"
+    assert _regexp_literal_prefix(".*x") == ""
+    assert _regexp_literal_prefix("m[ae]rge") == "m"
 
 
 def test_extended_grammar_matches_generated_oracle(spark, sf_dir):
@@ -301,9 +332,10 @@ def test_wand_fast_path_routing_and_identity(spark, sf_dir):
         (2, "spark^3 qurey~"),      # boost + fuzzy expansion
         (3, "zzznope"),             # absent term → empty
         (4, "st?eam m*ge^2"),       # wildcard expansions
+        (5, "/m[ae]rge/ stream"),   # regexp expansion
     ]
     parsed = {qid: parse_query(s) for qid, s in qs}
-    assert wand_eligible_qids(parsed) == [0, 1, 2, 3, 4]
+    assert wand_eligible_qids(parsed) == [0, 1, 2, 3, 4, 5]
     # ineligible shapes: must, not, phrase, filter
     for bad in ["+merge join", "merge -slow", '"merge join"', "source:src1 merge"]:
         assert wand_eligible_qids({9: parse_query(bad)}) == []
