@@ -59,7 +59,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # PARSER but not its fixture queries (no wildcards/regexps in
 # _QS_QUERIES), so its gate row stays valid; wildcard + regexp
 # semantics are pinned value-level by tests/test_query_parse.py's
-# generated-oracle + rank-identity tests (_EXT_QUERIES 5-10).
+# generated-oracle + rank-identity tests (_EXT_QUERIES 5-10). The
+# registry's query_string_search entry runs the INDEXED executor
+# (r5-late switch — the production plan; the index-free twin stays
+# rank-identity-pinned in tests); it sits in the r6 debt block so its
+# first gate row will certify the indexed path directly.
 _GATE_PRIORITY = [
     # --- r5 gate window (50) ---
     "bm25_recrawl_topk",

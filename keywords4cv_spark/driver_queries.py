@@ -4098,12 +4098,22 @@ def q_query_string_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and execute it as one composed retrieval plan: BM25 scoring over the
     literal + dictionary-expanded scoring terms, Lucene BooleanQuery
     candidate algebra (all MUSTs / any SHOULD / no MUST_NOTs), phrase
-    clauses as positional-reachability filters. One tokenize pass feeds
-    tf, dictionary, stats and the phrase chains; every clause table is
-    broadcast (query/parse.py)."""
-    from keywords4cv_spark.query.parse import search_query_strings
+    clauses as positional-reachability filters (query/parse.py).
 
-    return search_query_strings(spark, _docs(spark, sf_dir), _QS_QUERIES, CFG, TOP_K)
+    The registry entry runs the INDEXED executor — dictionary probes,
+    compressed postings, positional phrase chains, pure-disjunctive
+    queries routed through Block-Max WAND — the plan a production
+    search tier serves; it answers from the shared cached index instead
+    of re-tokenizing the corpus per call. The index-free twin
+    (`search_query_strings`) computes the same result from raw docs and
+    stays pinned rank-identical in tests/test_query_parse.py; both
+    satisfy the same generated DuckDB oracle."""
+    from keywords4cv_spark.query.parse import search_query_strings_indexed
+
+    index, icfg = _index_for(spark, sf_dir)
+    return search_query_strings_indexed(
+        spark, index, _pos_index_for(spark, sf_dir), _QS_QUERIES, icfg, TOP_K
+    )
 
 
 # ---------------------------------------------------------------------------
