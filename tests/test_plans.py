@@ -284,15 +284,18 @@ def test_bucket_encode_reuses_cached_partitioning(spark, sf_dir):
 
 
 def test_query_string_search_single_tokenize_no_shuffled_hash(spark, sf_dir):
-    """query_string_search's docstring claims: the corpus is tokenized
-    ONCE (persisted toks feed tf, dictionary, stats and every phrase
-    chain) and nothing clause-sized falls back to a shuffled join. In
-    the plan: every tokenizer stage (ArrowEvalPython) must sit inside
-    an InMemoryRelation cached-plan recipe — its near context shows the
-    cache node — and no ShuffledHashJoin appears anywhere."""
-    from keywords4cv_spark.driver_queries import QUERIES
+    """The index-free query-string executor's docstring claims: the
+    corpus is tokenized ONCE (persisted toks feed tf, dictionary, stats
+    and every phrase chain) and nothing clause-sized falls back to a
+    shuffled join. In the plan: every tokenizer stage (ArrowEvalPython)
+    must sit inside an InMemoryRelation cached-plan recipe — its near
+    context shows the cache node — and no ShuffledHashJoin appears
+    anywhere. (The REGISTRY entry runs the indexed executor, asserted
+    separately below.)"""
+    from keywords4cv_spark.driver_queries import _QS_QUERIES, _docs, CFG, TOP_K
+    from keywords4cv_spark.query.parse import search_query_strings
 
-    df = QUERIES["query_string_search"](spark, sf_dir)
+    df = search_query_strings(spark, _docs(spark, sf_dir), _QS_QUERIES, CFG, TOP_K)
     # tree form, not formatted explain: the formatted renderer flattens
     # InMemoryRelation recipes into numbered top-level nodes, losing the
     # containment this test asserts
@@ -308,3 +311,27 @@ def test_query_string_search_single_tokenize_no_shuffled_hash(spark, sf_dir):
                     lines[max(0, i - 8) : i + 2]
                 )
             )
+
+
+def test_query_string_indexed_reads_postings_not_corpus(spark, sf_dir):
+    """The registry's query_string_search (indexed executor) must never
+    touch the corpus text: no documents-parquet scan, no tokenizer
+    stage (ArrowEvalPython), no ShuffledHashJoin; every dictionary
+    expansion join (prefix/wildcard/regexp/fuzzy) broadcasts the
+    query-bounded pattern table. Regexp clauses additionally carry the
+    literal-prefix StartsWith pushdown next to the anchored RLIKE."""
+    from keywords4cv_spark.driver_queries import _index_for, _pos_index_for
+    from keywords4cv_spark.query.parse import search_query_strings_indexed
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    qs = [(0, "merge +join -slow"), (1, "/m[ae]rge/ s*eam qurey~")]
+    df = search_query_strings_indexed(spark, index, pos_index, qs, icfg)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # the regexp expansion is a broadcast join with prefix pushdown
+    assert "RLIKE" in plan or "rlike" in plan, plan
+    assert "StartsWith" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
