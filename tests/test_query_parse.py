@@ -394,3 +394,73 @@ def test_explain_query_strings_decomposes_scores(spark, sf_dir):
     # the boosted query's 'merge' rows carry boost 3.0
     boosted = [r for r in rows if r.query_id == 10 and r.term == "merge"]
     assert boosted and all(r.boost == 3.0 for r in boosted)
+
+
+def test_parse_query_never_raises_fuzz():
+    """The search front door must never 500: parse_query handles ANY
+    user string — unbalanced quotes/slashes, stray operators, malformed
+    ranges/regexps — by dropping what it can't read, never raising.
+    Every surviving clause is structurally valid."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    kinds = {
+        "term", "phrase", "prefix", "wildcard", "regexp", "fuzzy",
+        "filter", "range",
+    }
+    occurs = {"should", "must", "must_not"}
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(codec="ascii"),
+            max_size=60,
+        )
+    )
+    def _check(q: str) -> None:
+        clauses = parse_query(q)
+        for c in clauses:
+            assert c.kind in kinds
+            assert c.occur in occurs
+            if c.kind not in ("filter", "range"):
+                assert c.terms and all(isinstance(t, str) for t in c.terms)
+            assert c.boost >= 0.0
+
+    _check()
+
+
+def test_regexp_prefix_pruning_is_sound_fuzz():
+    """The literal-prefix pushdown must never prune a true match:
+    for any pattern built from the supported subset and any term, if
+    the anchored pattern full-matches the term then the term starts
+    with `_regexp_literal_prefix(pattern)` — the invariant that makes
+    the StartsWith conjunct a pure optimization."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from keywords4cv_spark.query.parse import _regexp_literal_prefix
+
+    atom = st.one_of(
+        st.text(alphabet="abcdxyz", min_size=1, max_size=3),
+        st.sampled_from(["[ab]", "[a-d]", ".", "(a|b)", "(merge|join)"]),
+    )
+    piece = st.tuples(atom, st.sampled_from(["", "*", "+", "?", "{1,2}"])).map(
+        lambda t: t[0] + t[1]
+    )
+    patterns = st.lists(piece, min_size=1, max_size=4).map("".join)
+    terms = st.text(alphabet="abcdxyz", max_size=10)
+
+    @settings(max_examples=500, deadline=None)
+    @given(patterns, terms)
+    def _check(pat: str, term: str) -> None:
+        try:
+            rx = _re.compile(pat)
+        except _re.error:
+            return
+        pre = _regexp_literal_prefix(pat)
+        if rx.fullmatch(term):
+            assert term.startswith(pre), (pat, pre, term)
+
+    _check()
