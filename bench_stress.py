@@ -48,6 +48,9 @@ STRESS_QUERIES: list[tuple[str, int]] = [
     ("bm25_explain", 10),
     ("search_facets", 10),
     ("index_segment_stats", 10),
+    # the search front door (indexed executor): parser + clause algebra
+    # + WAND fast path + positional phrase chains at 100× gate scale
+    ("query_string_search", 10),
 ]
 ROWS_ONLY_AT_FULL = ["curated_corpus_clean", "dup_components"]
 
