@@ -43,8 +43,15 @@ clause are excluded. Scoring is the BM25 sum over the doc's matched
 scoring terms (should + must literals plus every expanded dictionary
 term, deduplicated per query — Lucene's scoring-BooleanQuery
 rewrite), ranked by the engine-wide (round(score, 6) DESC, doc_id)
-rule. Phrases are filter-only (constant-score), a documented
-simplification vs Lucene's phrase-freq scoring.
+rule. Phrases are filter-only (constant-score) BY DEFAULT; passing
+``score_phrases=True`` to either executor (and the oracle generator)
+scores each non-negated phrase clause as a synthetic term — BM25 with
+tf = its occurrence count (distinct reachable chain END positions,
+proximity_search's n_occurrences semantics) and df = docs containing
+the phrase — Lucene PhraseQuery scoring with an exact count in place
+of sloppyFreq's 1/(distance+1) weighting, the one deliberate
+divergence (documented; an exact count is reproducible in SQL, the
+reciprocal-distance sum is not order-free under round(·,6)).
 
 Scale shape: the parsed clause set is query-bounded and broadcast
 everywhere; the corpus is touched by ONE tokenize pass (persisted and
@@ -257,10 +264,15 @@ def parse_query(q: str) -> list[Clause]:
     return clauses
 
 
-def _phrase_hit_docs(pos: DataFrame, terms: tuple[str, ...], slop: int) -> DataFrame:
+def _phrase_hit_docs(
+    pos: DataFrame, terms: tuple[str, ...], slop: int, counts: bool = False
+) -> DataFrame:
     """Docs containing the ordered phrase within slop — reachability DP
     as a chain of equi-joins on doc_id with pushed-down term filters
-    (the index-free twin of query/phrase.py:proximity_search)."""
+    (the index-free twin of query/phrase.py:proximity_search). With
+    ``counts``, returns (doc_id, ptf) where ptf counts the distinct END
+    positions reachable by a valid chain — the same occurrence
+    semantics as proximity_search's n_occurrences."""
     gap = 1 + slop
     cur = (
         pos.filter(F.col("term") == terms[0]).select("doc_id", "p").distinct()
@@ -279,6 +291,8 @@ def _phrase_hit_docs(pos: DataFrame, terms: tuple[str, ...], slop: int) -> DataF
             .select("doc_id", F.col("p2").alias("p"))
             .distinct()
         )
+    if counts:
+        return cur.groupBy("doc_id").agg(F.count("*").cast("long").alias("ptf"))
     return cur.select("doc_id").distinct()
 
 
@@ -608,12 +622,22 @@ def search_query_strings(
     k: int = TOP_K,
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
+    score_phrases: bool = False,
 ) -> DataFrame:
     """Parse + execute query strings → (query_id, rank, doc_id, score).
 
     Index-free path (the oracle twin): one tokenize pass over the
     corpus feeds tf, dictionary, stats and the positional phrase
     chains; all clause tables are broadcast.
+
+    ``score_phrases`` lifts the filter-only phrase simplification:
+    each non-negated phrase clause contributes BM25 with tf = its
+    occurrence count (distinct chain END positions, the
+    proximity_search semantics) and df = the number of docs containing
+    the phrase, scaled by the clause boost — Lucene PhraseQuery
+    scoring with an exact occurrence count in place of sloppyFreq's
+    1/(distance+1) weighting. Default off: the gated
+    query_string_search result is unchanged.
     """
     parsed = {qid: parse_query(s) for qid, s in queries}
 
@@ -657,24 +681,77 @@ def search_query_strings(
         if c.kind == "phrase"
     ]
     phits = empty_hits
+    pscored = None
     if phrase_clauses:
         pos = toks.select(
             "doc_id", F.posexplode("tokens").alias("p", "term")
         )
         for qid, cid, c in phrase_clauses:
-            h = _phrase_hit_docs(pos, c.terms, c.slop).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.lit(cid).cast("long").alias("clause_id"),
-                F.lit(c.occur).alias("occur"),
-                "doc_id",
-            )
+            if score_phrases and c.occur != MUST_NOT:
+                pc = _phrase_hit_docs(pos, c.terms, c.slop, counts=True).persist()
+                h = pc.select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(cid).cast("long").alias("clause_id"),
+                    F.lit(c.occur).alias("occur"),
+                    "doc_id",
+                )
+                contrib = _phrase_bm25_contrib(
+                    pc,
+                    toks.select("doc_id", "dl"),
+                    corpus_stats(toks).drop("sum_dl"),
+                    cfg,
+                    qid,
+                    c.boost,
+                )
+                pscored = (
+                    contrib if pscored is None else pscored.unionByName(contrib)
+                )
+            else:
+                h = _phrase_hit_docs(pos, c.terms, c.slop).select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(cid).cast("long").alias("clause_id"),
+                    F.lit(c.occur).alias("occur"),
+                    "doc_id",
+                )
             phits = phits.unionByName(h)
+    if pscored is not None:
+        scored = (
+            scored.unionByName(pscored)
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
 
     hits = thits.unionByName(phits)
     attrs = docs
     if cfg.lang_filter and "lang" in docs.columns:
         attrs = docs.filter(F.col("lang") == cfg.lang_filter)
     return _boolean_rank(spark, parsed, hits, scored, k, attrs=attrs)
+
+
+def _phrase_bm25_contrib(
+    pcounts: DataFrame,
+    dls: DataFrame,
+    stats: DataFrame,
+    cfg: EngineConfig,
+    qid: int,
+    boost: float,
+) -> DataFrame:
+    """(query_id, doc_id, score): one phrase clause's BM25 contribution
+    from its per-doc occurrence counts — the phrase is treated as a
+    single synthetic term with tf = ptf and df = |docs containing it|
+    (Lucene PhraseQuery's idf-of-the-phrase reading)."""
+    pdf = pcounts.agg(F.count("*").cast("long").alias("df"))
+    return (
+        pcounts.join(dls, "doc_id")
+        .crossJoin(F.broadcast(pdf))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tf", F.col("ptf"))
+        .select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            (bm25_score_col(cfg) * F.lit(boost)).alias("score"),
+        )
+    )
 
 
 def _decode_postings(spark, index, wanted: DataFrame) -> DataFrame:
@@ -742,6 +819,7 @@ def search_query_strings_indexed(
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     doc_attrs: DataFrame | None = None,
+    score_phrases: bool = False,
 ) -> DataFrame:
     """The indexed twin of `search_query_strings` — same parse tree,
     same clause algebra, but every leaf relation reads the compressed
@@ -750,10 +828,12 @@ def search_query_strings_indexed(
     clause terms (dl rides in the payload, df in the dictionary,
     n_docs/avgdl from the one-row stats), and phrase clauses run
     against the positional index via the reachability DP in
-    query/phrase.py. Rank-identical to the index-free path by
-    construction (pinned in tests/test_query_parse.py); query cost
-    scales with the postings of the query terms, never the corpus —
-    this is the plan that serves at 10^12 docs.
+    query/phrase.py (whose n_occurrences feeds BM25 phrase scoring
+    when ``score_phrases`` is on — same opt-in as the index-free
+    twin). Rank-identical to the index-free path by construction
+    (pinned in tests/test_query_parse.py); query cost scales with the
+    postings of the query terms, never the corpus — this is the plan
+    that serves at 10^12 docs.
     """
     return _indexed_search(
         spark,
@@ -765,6 +845,7 @@ def search_query_strings_indexed(
         max_expansions,
         fuzzy_max_expansions,
         doc_attrs,
+        score_phrases,
     )[0]
 
 
@@ -826,6 +907,7 @@ def _indexed_search(
     max_expansions: int,
     fuzzy_max_expansions: int,
     doc_attrs: DataFrame | None = None,
+    score_phrases: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
     from keywords4cv_spark.query.phrase import proximity_search
     from keywords4cv_spark.query.wand import bm25_wand
@@ -901,6 +983,7 @@ def _indexed_search(
         if c.kind == "phrase"
     ]
     phits = empty_hits
+    pscored = None
     if phrase_clauses:
         by_slop: dict[int, list[tuple[int, int, Clause]]] = {}
         for qid, cid, c in phrase_clauses:
@@ -908,6 +991,8 @@ def _indexed_search(
         for slop, group in by_slop.items():
             phrases = sorted({" ".join(c.terms) for _, _, c in group})
             matched = proximity_search(spark, pos_index, phrases, slop=slop)
+            if score_phrases:
+                matched = matched.persist()
             cmap = spark.createDataFrame(
                 [(qid, cid, c.occur, " ".join(c.terms)) for qid, cid, c in group],
                 "query_id long, clause_id long, occur string, phrase string",
@@ -917,6 +1002,43 @@ def _indexed_search(
                     "query_id", "clause_id", "occur", "doc_id"
                 )
             )
+            if score_phrases:
+                # per-phrase df from the match relation; dl from docmeta;
+                # one synthetic-term BM25 contribution per scoring clause
+                srow = index.stats_row()
+                bmap = spark.createDataFrame(
+                    [
+                        (qid, " ".join(c.terms), c.boost)
+                        for qid, cid, c in group
+                        if c.occur != MUST_NOT
+                    ],
+                    "query_id long, phrase string, boost double",
+                )
+                pdfs = matched.groupBy("phrase").agg(
+                    F.count("*").cast("long").alias("df")
+                )
+                contrib = (
+                    matched.join(F.broadcast(bmap), "phrase")
+                    .join(F.broadcast(pdfs), "phrase")
+                    .join(index.docmeta.select("doc_id", "dl"), "doc_id")
+                    .withColumn("tf", F.col("n_occurrences"))
+                    .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+                    .withColumn("avgdl", F.lit(float(srow["avgdl"])))
+                    .select(
+                        "query_id",
+                        "doc_id",
+                        (bm25_score_col(cfg) * F.col("boost")).alias("score"),
+                    )
+                )
+                pscored = (
+                    contrib if pscored is None else pscored.unionByName(contrib)
+                )
+    if pscored is not None:
+        scored = (
+            scored.unionByName(pscored)
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
 
     hits = thits.unionByName(phits)
     attrs = doc_attrs if doc_attrs is not None else index.docmeta
@@ -997,9 +1119,13 @@ def explain_query_strings(
 # ---------------------------------------------------------------------------
 
 
-def _phrase_chain_sql(terms: tuple[str, ...], slop: int) -> str:
+def _phrase_chain_sql(
+    terms: tuple[str, ...], slop: int, counts: bool = False
+) -> str:
     """Chained DISTINCT-join reachability SQL over a `pos(doc_id, term,
-    p)` CTE (same shape as driver_queries._proximity_oracle)."""
+    p)` CTE (same shape as driver_queries._proximity_oracle). With
+    ``counts``, yields (doc_id, ptf) — distinct chain END positions per
+    doc, the _phrase_hit_docs/proximity_search occurrence count."""
     gap = 1 + slop
     cur = f"SELECT DISTINCT doc_id, p FROM pos WHERE term = '{terms[0]}'"
     for t in terms[1:]:
@@ -1007,6 +1133,11 @@ def _phrase_chain_sql(terms: tuple[str, ...], slop: int) -> str:
 FROM ({cur}) r JOIN pos b
   ON b.doc_id = r.doc_id AND b.term = '{t}'
  AND b.p > r.p AND b.p <= r.p + {gap}"""
+    if counts:
+        return (
+            f"SELECT doc_id, CAST(count(*) AS BIGINT) AS ptf"
+            f" FROM ({cur}) GROUP BY doc_id"
+        )
     return f"SELECT DISTINCT doc_id FROM ({cur})"
 
 
@@ -1044,6 +1175,7 @@ def query_string_oracle(
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     attr_sql: str = "SELECT * FROM documents WHERE lang = 'en'",
+    score_phrases: bool = False,
 ) -> str:
     """Generate the DuckDB SQL equivalent for a fixed query-string set.
 
@@ -1051,6 +1183,9 @@ def query_string_oracle(
     oracle scores the exact corpus the Spark side tokenizes;
     ``attr_sql`` the doc-attribute relation filter/range clauses probe
     (the same corpus restriction as the tokenize CTE).
+    ``score_phrases`` mirrors the executors' opt-in phrase-frequency
+    BM25 scoring (synthetic-term tf = chain END-position count, df =
+    docs containing the phrase, clause boost applied).
     """
     parsed = {qid: parse_query(s) for qid, s in queries}
     termlike = {"term", "phrase", "prefix", "wildcard", "regexp", "fuzzy"}
@@ -1063,6 +1198,7 @@ def query_string_oracle(
 
     cterm_parts: list[str] = []
     phits_parts: list[str] = []
+    pscored_parts: list[str] = []
     for qid, cs in parsed.items():
         for cid, c in enumerate(cs):
             boost_sel = f"CAST({c.boost} AS DOUBLE) AS boost"
@@ -1106,6 +1242,19 @@ def query_string_oracle(
                     row(qid, cid, c.occur, "doc_id")
                     + f" FROM ({_phrase_chain_sql(c.terms, c.slop)})"
                 )
+                if score_phrases and c.occur != MUST_NOT:
+                    chain = _phrase_chain_sql(c.terms, c.slop, counts=True)
+                    pscored_parts.append(
+                        f"""SELECT CAST({qid} AS BIGINT) AS query_id, t.doc_id,
+       CAST({c.boost} AS DOUBLE)
+       * ln(1.0 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+       * (t.ptf * ({cfg.k1} + 1.0))
+       / (t.ptf + {cfg.k1} * (1.0 - {cfg.b} + {cfg.b} * dd.dl / s.avgdl)) AS score
+  FROM ({chain}) t
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS df FROM ({chain})) p
+  JOIN dd ON dd.doc_id = t.doc_id
+  CROSS JOIN stats s"""
+                    )
 
     none = "WHERE 1 = 0"
     cterm_sql = (
@@ -1120,6 +1269,12 @@ def query_string_oracle(
         if phits_parts
         else f"SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT)"
         f" AS clause_id, '' AS occur, CAST(NULL AS BIGINT) AS doc_id {none}"
+    )
+    pscored_sql = (
+        "\nUNION ALL\n".join(pscored_parts)
+        if pscored_parts
+        else f"SELECT CAST(NULL AS BIGINT) AS query_id,"
+        f" CAST(NULL AS BIGINT) AS doc_id, CAST(0.0 AS DOUBLE) AS score {none}"
     )
 
     n_must = {
@@ -1225,6 +1380,11 @@ thits AS (SELECT DISTINCT c.query_id, c.clause_id, c.occur, t.doc_id
 phits AS (
 {phits_sql}
 ),
+pscore AS (
+  SELECT query_id, doc_id, sum(score) AS score FROM (
+{pscored_sql}
+  ) GROUP BY query_id, doc_id
+),
 allhits AS (SELECT * FROM thits UNION ALL SELECT * FROM phits),
 musthits AS (SELECT query_id, clause_id, doc_id FROM allhits WHERE occur = 'must'),
 nm(query_id, n_must) AS (SELECT CAST(c0 AS BIGINT), CAST(c1 AS BIGINT)
@@ -1240,9 +1400,11 @@ nothits AS (
   {nothits_sql}
 ),
 fin AS (
-  SELECT c.query_id, c.doc_id, round(coalesce(s.score, 0.0), 6) AS score
+  SELECT c.query_id, c.doc_id,
+         round(coalesce(s.score, 0.0) + coalesce(ps.score, 0.0), 6) AS score
   FROM cand c
   LEFT JOIN scored s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+  LEFT JOIN pscore ps ON ps.query_id = c.query_id AND ps.doc_id = c.doc_id
   ANTI JOIN nothits n ON n.query_id = c.query_id AND n.doc_id = c.doc_id
 ),
 ranked AS (

@@ -464,3 +464,103 @@ def test_regexp_prefix_pruning_is_sound_fuzz():
             assert term.startswith(pre), (pat, pre, term)
 
     _check()
+
+
+def test_phrase_scoring_counts_occurrences(spark):
+    """Opt-in phrase-frequency scoring: BM25 over the occurrence count
+    (distinct chain END positions). Two docs of equal length, one with
+    the phrase twice, one once → the double-occurrence doc ranks first
+    with a strictly higher score; a non-adjacent doc only matches (and
+    scores) once slop allows the gap. Default stays constant-score 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta xx", "en"),
+            (2, "alpha beta zz yy ww", "en"),
+            (3, "alpha zz beta yy ww", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = search_query_strings(
+        spark, docs, [(0, '"alpha beta"')], score_phrases=True
+    ).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1].rank == 1 and by_doc[2].rank == 2
+    assert by_doc[1].score > by_doc[2].score > 0.0
+
+    # slop=1 admits the gapped doc 3, at the lowest score (ptf 1, dl 5)
+    rows = search_query_strings(
+        spark, docs, [(0, '"alpha beta"~1')], score_phrases=True
+    ).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    assert all(r.score > 0.0 for r in rows)
+
+    # default: filter-only phrases, constant score 0 (the gated shape)
+    rows = search_query_strings(spark, docs, [(0, '"alpha beta"')]).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.score == 0.0 for r in rows)
+
+
+_PH_QUERIES = [
+    (0, '"data column" merge'),      # should phrase + should term
+    (1, '+"table scan"^2 join'),     # boosted must phrase + should term
+    (2, '"data column query"~2'),    # sloppy phrase only
+    (3, '"table scan" -stream'),     # phrase + must_not term
+    (4, "merge join"),               # control: no phrase clause
+]
+
+
+def test_phrase_scoring_matches_generated_oracle(spark, sf_dir):
+    """Engine (index-free, score_phrases=True) vs the generated DuckDB
+    oracle (score_phrases=True): value-level agreement across must /
+    should / boosted / sloppy phrase clauses on the gate corpus."""
+    import duckdb
+
+    from test_driver_contract import _assert_frames_match
+
+    from keywords4cv_spark.driver_queries import _TF_CTES, _docs
+    from keywords4cv_spark.query.parse import query_string_oracle
+
+    got = search_query_strings(
+        spark, _docs(spark, sf_dir), _PH_QUERIES, score_phrases=True
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(
+        query_string_oracle(_PH_QUERIES, _TF_CTES, score_phrases=True)
+    ).fetchdf()
+    assert len(got) > 0
+    # phrase scoring must actually engage: scored phrase-only hits
+    assert (got[got.query_id == 2].score > 0).any()
+    _assert_frames_match("phrase_scoring", got, want)
+
+
+def test_phrase_scoring_indexed_rank_identical(spark, sf_dir):
+    """Indexed executor with score_phrases=True (proximity_search
+    n_occurrences feeding BM25) reproduces the index-free path exactly
+    — ranks and round(·,6) scores."""
+    from keywords4cv_spark.driver_queries import (
+        _docs,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import search_query_strings_indexed
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings(
+            spark, _docs(spark, sf_dir), _PH_QUERIES, icfg, score_phrases=True
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings_indexed(
+            spark, index, pos_index, _PH_QUERIES, icfg, score_phrases=True
+        ).collect()
+    }
+    assert want
+    assert got == want
