@@ -809,6 +809,87 @@ def _decode_postings(spark, index, wanted: DataFrame) -> DataFrame:
     )
 
 
+def _indexed_phrases(
+    spark: SparkSession,
+    index,
+    pos_index,
+    parsed: dict[int, list[Clause]],
+    cfg: EngineConfig,
+    score_phrases: bool,
+    empty_hits: DataFrame,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Phrase-clause execution against the positional index: hit rows
+    (query_id, clause_id, occur, doc_id) and — when ``score_phrases`` —
+    per-(query, doc, phrase) BM25 detail rows (term = the phrase
+    string, tf = n_occurrences, df = docs containing the phrase,
+    boost, score), one row per scoring clause. The detail derives from
+    the SAME proximity_search output the hit filter materializes —
+    phrase scoring adds no extra positional pass."""
+    from keywords4cv_spark.query.phrase import proximity_search
+
+    phrase_clauses = [
+        (qid, cid, c)
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "phrase"
+    ]
+    phits = empty_hits
+    pdetail = None
+    if not phrase_clauses:
+        return phits, None
+    by_slop: dict[int, list[tuple[int, int, Clause]]] = {}
+    for qid, cid, c in phrase_clauses:
+        by_slop.setdefault(c.slop, []).append((qid, cid, c))
+    for slop, group in by_slop.items():
+        phrases = sorted({" ".join(c.terms) for _, _, c in group})
+        matched = proximity_search(spark, pos_index, phrases, slop=slop)
+        if score_phrases:
+            matched = matched.persist()
+        cmap = spark.createDataFrame(
+            [(qid, cid, c.occur, " ".join(c.terms)) for qid, cid, c in group],
+            "query_id long, clause_id long, occur string, phrase string",
+        )
+        phits = phits.unionByName(
+            matched.join(F.broadcast(cmap), "phrase").select(
+                "query_id", "clause_id", "occur", "doc_id"
+            )
+        )
+        if score_phrases:
+            # per-phrase df from the match relation; dl from docmeta;
+            # one synthetic-term BM25 contribution per scoring clause
+            srow = index.stats_row()
+            bmap = spark.createDataFrame(
+                [
+                    (qid, " ".join(c.terms), c.boost)
+                    for qid, cid, c in group
+                    if c.occur != MUST_NOT
+                ],
+                "query_id long, phrase string, boost double",
+            )
+            pdfs = matched.groupBy("phrase").agg(
+                F.count("*").cast("long").alias("df")
+            )
+            det = (
+                matched.join(F.broadcast(bmap), "phrase")
+                .join(F.broadcast(pdfs), "phrase")
+                .join(index.docmeta.select("doc_id", "dl"), "doc_id")
+                .withColumn("tf", F.col("n_occurrences"))
+                .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+                .withColumn("avgdl", F.lit(float(srow["avgdl"])))
+                .select(
+                    "query_id",
+                    "doc_id",
+                    F.col("phrase").alias("term"),
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    "boost",
+                    (bm25_score_col(cfg) * F.col("boost")).alias("score"),
+                )
+            )
+            pdetail = det if pdetail is None else pdetail.unionByName(det)
+    return phits, pdetail
+
+
 def search_query_strings_indexed(
     spark: SparkSession,
     index,
@@ -860,6 +941,7 @@ def search_with_snippets(
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     doc_attrs: DataFrame | None = None,
+    score_phrases: bool = False,
 ) -> DataFrame:
     """The full search response: indexed query-string retrieval plus a
     highlighted snippet per hit — (query_id, rank, doc_id, score,
@@ -868,7 +950,9 @@ def search_with_snippets(
     the hit docs' position streams from the positional index
     (query/snippets.py), so highlighting cost is k·|queries|-bounded.
     Hits whose clauses are all phrases/must_nots have no highlight
-    terms and keep null snippet columns.
+    terms and keep null snippet columns. ``score_phrases`` changes
+    ranking only (phrase-frequency BM25); highlight terms stay the
+    expanded scoring terms.
     """
     from keywords4cv_spark.query.snippets import snippet_windows_for_hits
 
@@ -882,6 +966,7 @@ def search_with_snippets(
         max_expansions,
         fuzzy_max_expansions,
         doc_attrs,
+        score_phrases,
     )
     if cterm is None:
         return (
@@ -909,7 +994,6 @@ def _indexed_search(
     doc_attrs: DataFrame | None = None,
     score_phrases: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
-    from keywords4cv_spark.query.phrase import proximity_search
     from keywords4cv_spark.query.wand import bm25_wand
 
     parsed = {qid: parse_query(s) for qid, s in queries}
@@ -976,66 +1060,12 @@ def _indexed_search(
         thits = empty_hits
 
     # ---- phrase clauses: positional-index proximity search ----------
-    phrase_clauses = [
-        (qid, cid, c)
-        for qid, cs in parsed_gen.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "phrase"
-    ]
-    phits = empty_hits
-    pscored = None
-    if phrase_clauses:
-        by_slop: dict[int, list[tuple[int, int, Clause]]] = {}
-        for qid, cid, c in phrase_clauses:
-            by_slop.setdefault(c.slop, []).append((qid, cid, c))
-        for slop, group in by_slop.items():
-            phrases = sorted({" ".join(c.terms) for _, _, c in group})
-            matched = proximity_search(spark, pos_index, phrases, slop=slop)
-            if score_phrases:
-                matched = matched.persist()
-            cmap = spark.createDataFrame(
-                [(qid, cid, c.occur, " ".join(c.terms)) for qid, cid, c in group],
-                "query_id long, clause_id long, occur string, phrase string",
-            )
-            phits = phits.unionByName(
-                matched.join(F.broadcast(cmap), "phrase").select(
-                    "query_id", "clause_id", "occur", "doc_id"
-                )
-            )
-            if score_phrases:
-                # per-phrase df from the match relation; dl from docmeta;
-                # one synthetic-term BM25 contribution per scoring clause
-                srow = index.stats_row()
-                bmap = spark.createDataFrame(
-                    [
-                        (qid, " ".join(c.terms), c.boost)
-                        for qid, cid, c in group
-                        if c.occur != MUST_NOT
-                    ],
-                    "query_id long, phrase string, boost double",
-                )
-                pdfs = matched.groupBy("phrase").agg(
-                    F.count("*").cast("long").alias("df")
-                )
-                contrib = (
-                    matched.join(F.broadcast(bmap), "phrase")
-                    .join(F.broadcast(pdfs), "phrase")
-                    .join(index.docmeta.select("doc_id", "dl"), "doc_id")
-                    .withColumn("tf", F.col("n_occurrences"))
-                    .withColumn("n_docs", F.lit(int(srow["n_docs"])))
-                    .withColumn("avgdl", F.lit(float(srow["avgdl"])))
-                    .select(
-                        "query_id",
-                        "doc_id",
-                        (bm25_score_col(cfg) * F.col("boost")).alias("score"),
-                    )
-                )
-                pscored = (
-                    contrib if pscored is None else pscored.unionByName(contrib)
-                )
-    if pscored is not None:
+    phits, pdetail = _indexed_phrases(
+        spark, index, pos_index, parsed_gen, cfg, score_phrases, empty_hits
+    )
+    if pdetail is not None:
         scored = (
-            scored.unionByName(pscored)
+            scored.unionByName(pdetail.select("query_id", "doc_id", "score"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("score").alias("score"))
         )
@@ -1058,6 +1088,7 @@ def explain_query_strings(
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     doc_attrs: DataFrame | None = None,
+    score_phrases: bool = False,
 ) -> DataFrame:
     """Score decomposition for query-string hits — the parser-level
     `explain` API: one row per (query, hit, matched scoring term) with
@@ -1069,7 +1100,10 @@ def explain_query_strings(
     relation, so the explain adds no extra shuffle and output is
     bounded by |Q|·k·|expanded terms| regardless of corpus size.
     Hits with no scoring terms (phrase/filter-only queries) explain as
-    zero rows, matching their constant-score 0.0.
+    zero rows, matching their constant-score 0.0. With
+    ``score_phrases``, scoring phrase clauses explain too — term = the
+    phrase string, tf = its occurrence count, df = docs containing it —
+    and the per-hit contribution sum still reconstructs the score.
     """
     from keywords4cv_spark.query.bm25 import SCORE_DECIMALS
 
@@ -1083,31 +1117,60 @@ def explain_query_strings(
         max_expansions,
         fuzzy_max_expansions,
         doc_attrs,
+        score_phrases,
     )
     out_schema = (
         "query_id long, rank int, doc_id long, term string, tf long,"
         " df long, boost double, contribution double, score double"
     )
-    if cterm is None:
+    parts: list[DataFrame] = []
+    if cterm is not None:
+        scoring = cterm.filter(F.col("occur") != MUST_NOT)
+        posts = _decode_postings(
+            spark, index, scoring.select("term_id").distinct()
+        )
+        srow = index.stats_row()
+        parts.append(
+            posts.join(F.broadcast(scoring), "term_id")
+            .groupBy("query_id", "term", "doc_id", "tf", "dl", "df")
+            .agg(F.max("boost").alias("boost"))
+            .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+            .withColumn("avgdl", F.lit(float(srow["avgdl"])))
+            .withColumn("contribution", bm25_score_col(cfg) * F.col("boost"))
+            .select(
+                "query_id", "doc_id", "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                "boost", "contribution",
+            )
+        )
+    if score_phrases:
+        parsed = {qid: parse_query(s) for qid, s in queries}
+        empty_hits = spark.createDataFrame(
+            [], "query_id long, clause_id long, occur string, doc_id long"
+        )
+        _, pdetail = _indexed_phrases(
+            spark, index, pos_index, parsed, cfg, True, empty_hits
+        )
+        if pdetail is not None:
+            parts.append(
+                pdetail.select(
+                    "query_id", "doc_id", "term", "tf", "df", "boost",
+                    F.col("score").alias("contribution"),
+                )
+            )
+    if not parts:
         return spark.createDataFrame([], out_schema)
-    scoring = cterm.filter(F.col("occur") != MUST_NOT)
-    posts = _decode_postings(spark, index, scoring.select("term_id").distinct())
-    srow = index.stats_row()
-    per_term = (
-        posts.join(F.broadcast(scoring), "term_id")
-        .groupBy("query_id", "term", "doc_id", "tf", "dl", "df")
-        .agg(F.max("boost").alias("boost"))
-        .withColumn("n_docs", F.lit(int(srow["n_docs"])))
-        .withColumn("avgdl", F.lit(float(srow["avgdl"])))
-        .withColumn("contribution", bm25_score_col(cfg) * F.col("boost"))
-    )
+    per_term = parts[0]
+    for p in parts[1:]:
+        per_term = per_term.unionByName(p)
     return per_term.join(F.broadcast(ranked), ["query_id", "doc_id"]).select(
         "query_id",
         "rank",
         "doc_id",
         "term",
-        F.col("tf").cast("long").alias("tf"),
-        F.col("df").cast("long").alias("df"),
+        "tf",
+        "df",
         "boost",
         F.round("contribution", SCORE_DECIMALS).alias("contribution"),
         "score",

@@ -564,3 +564,38 @@ def test_phrase_scoring_indexed_rank_identical(spark, sf_dir):
     }
     assert want
     assert got == want
+
+
+def test_explain_includes_scored_phrases(spark, sf_dir):
+    """With score_phrases, explain rows cover phrase clauses too (term
+    = the phrase string, tf = occurrence count) and the per-hit
+    contribution sum still reconstructs the ranked score exactly."""
+    from keywords4cv_spark.driver_queries import _index_for, _pos_index_for
+    from keywords4cv_spark.query.parse import (
+        explain_query_strings,
+        search_query_strings_indexed,
+    )
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    hits = search_query_strings_indexed(
+        spark, index, pos_index, _PH_QUERIES, icfg, score_phrases=True
+    ).collect()
+    rows = explain_query_strings(
+        spark, index, pos_index, _PH_QUERIES, icfg, score_phrases=True
+    ).collect()
+    assert rows
+    # phrase rows surface with multi-word terms and positive tf
+    prows = [r for r in rows if " " in r.term]
+    assert prows and all(r.tf >= 1 for r in prows)
+
+    by_hit: dict[tuple[int, int], list] = {}
+    for r in rows:
+        by_hit.setdefault((r.query_id, r.doc_id), []).append(r)
+    for h in hits:
+        parts = by_hit.get((h.query_id, h.doc_id), [])
+        if h.score == 0.0:
+            assert parts == [], (h, parts)
+            continue
+        assert parts, h
+        assert abs(sum(p.contribution for p in parts) - h.score) < 1e-4, h
