@@ -477,6 +477,7 @@ def _boolean_rank(
     scored: DataFrame,
     k: int,
     attrs: DataFrame | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Lucene BooleanQuery candidate algebra + final ranking, shared by
     both executors. ``hits`` is (query_id, clause_id, occur, doc_id)
@@ -493,6 +494,13 @@ def _boolean_rank(
     minimumShouldMatch drops to 0, so the filter alone defines the
     candidate set); term-like MUSTs intersect with the filter set;
     negative filters exclude like must_not terms.
+
+    ``min_should_match`` is Lucene's BooleanQuery knob: a doc must
+    match at least that many DISTINCT should clauses, in addition to
+    every must/filter constraint. 0 is the Lucene default (should-only
+    queries still need ≥1 to be candidates at all); a query with fewer
+    should clauses than the threshold matches nothing. Scoring is
+    untouched — the knob decides candidacy only.
     """
     termlike = {"term", "phrase", "prefix", "wildcard", "regexp", "fuzzy"}
 
@@ -557,10 +565,37 @@ def _boolean_rank(
             .select("query_id", "doc_id")
         )
 
+    msm = max(int(min_should_match), 0)
+    scounts = None
+    if msm > 0:
+        scounts = (
+            hits.filter(F.col("occur") == SHOULD)
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("clause_id").alias("n_s"))
+        )
+    # queries whose must/filter candidates additionally owe >= msm
+    # distinct should matches (Lucene: msm applies on top of musts)
+    msm_qids = (
+        {
+            qid
+            for qid, cs in parsed.items()
+            if (n_must[qid] > 0 or has_pos_filter[qid])
+            and any(c.occur == SHOULD and c.kind in termlike for c in cs)
+        }
+        if msm > 0
+        else set()
+    )
+    msm_ok = (
+        scounts.filter(F.col("n_s") >= msm).select("query_id", "doc_id")
+        if msm_qids
+        else None
+    )
+
     cand_parts: list[DataFrame] = []
     neg_parts: list[DataFrame] = []
     for qid, cs in parsed.items():
         pos = _pred(cs, positive=True) if has_pos_filter[qid] else None
+        fcand = None
         if pos is not None:
             fcand = attrs.filter(pos).select(
                 F.lit(qid).cast("long").alias("query_id"), "doc_id"
@@ -571,9 +606,12 @@ def _boolean_rank(
                 fcand = must_ok.filter(F.col("query_id") == qid).join(
                     fcand.select("query_id", "doc_id"), ["query_id", "doc_id"]
                 )
-            cand_parts.append(fcand)
         elif n_must[qid] > 0:
-            cand_parts.append(must_ok.filter(F.col("query_id") == qid))
+            fcand = must_ok.filter(F.col("query_id") == qid)
+        if fcand is not None:
+            if qid in msm_qids:
+                fcand = fcand.join(msm_ok, ["query_id", "doc_id"])
+            cand_parts.append(fcand)
         neg = _pred(cs, positive=False)
         if neg is not None:
             neg_parts.append(
@@ -582,14 +620,22 @@ def _boolean_rank(
                 )
             )
     if should_qids:
-        cand_parts.append(
-            hits.filter(
-                (F.col("occur") == SHOULD)
-                & F.col("query_id").isin(should_qids)
+        if msm > 1:
+            cand_parts.append(
+                scounts.filter(
+                    F.col("query_id").isin(should_qids)
+                    & (F.col("n_s") >= msm)
+                ).select("query_id", "doc_id")
             )
-            .select("query_id", "doc_id")
-            .distinct()
-        )
+        else:
+            cand_parts.append(
+                hits.filter(
+                    (F.col("occur") == SHOULD)
+                    & F.col("query_id").isin(should_qids)
+                )
+                .select("query_id", "doc_id")
+                .distinct()
+            )
     if not cand_parts:
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, score double"
@@ -623,6 +669,7 @@ def search_query_strings(
     max_expansions: int = MAX_EXPANSIONS,
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     score_phrases: bool = False,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Parse + execute query strings → (query_id, rank, doc_id, score).
 
@@ -725,7 +772,10 @@ def search_query_strings(
     attrs = docs
     if cfg.lang_filter and "lang" in docs.columns:
         attrs = docs.filter(F.col("lang") == cfg.lang_filter)
-    return _boolean_rank(spark, parsed, hits, scored, k, attrs=attrs)
+    return _boolean_rank(
+        spark, parsed, hits, scored, k, attrs=attrs,
+        min_should_match=min_should_match,
+    )
 
 
 def _phrase_bm25_contrib(
@@ -901,6 +951,7 @@ def search_query_strings_indexed(
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     doc_attrs: DataFrame | None = None,
     score_phrases: bool = False,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """The indexed twin of `search_query_strings` — same parse tree,
     same clause algebra, but every leaf relation reads the compressed
@@ -927,6 +978,7 @@ def search_query_strings_indexed(
         fuzzy_max_expansions,
         doc_attrs,
         score_phrases,
+        min_should_match,
     )[0]
 
 
@@ -993,6 +1045,7 @@ def _indexed_search(
     fuzzy_max_expansions: int,
     doc_attrs: DataFrame | None = None,
     score_phrases: bool = False,
+    min_should_match: int = 0,
 ) -> tuple[DataFrame, DataFrame | None]:
     from keywords4cv_spark.query.wand import bm25_wand
 
@@ -1013,7 +1066,7 @@ def _indexed_search(
     # pruning instead of a full decode of its terms' postings. Clause
     # boosts map to WAND term weights (both scale idf, and the weight
     # scales the stored block-max bound, so pruning stays exact).
-    wand_qids = wand_eligible_qids(parsed)
+    wand_qids = wand_eligible_qids(parsed) if min_should_match <= 1 else []
     ranked_w = None
     if wand_qids and cterm is not None:
         triples = [
@@ -1072,7 +1125,10 @@ def _indexed_search(
 
     hits = thits.unionByName(phits)
     attrs = doc_attrs if doc_attrs is not None else index.docmeta
-    ranked = _boolean_rank(spark, parsed_gen, hits, scored, k, attrs=attrs)
+    ranked = _boolean_rank(
+        spark, parsed_gen, hits, scored, k, attrs=attrs,
+        min_should_match=min_should_match,
+    )
     if ranked_w is not None:
         ranked = ranked.unionByName(ranked_w)
     return ranked, cterm
@@ -1239,6 +1295,7 @@ def query_string_oracle(
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     attr_sql: str = "SELECT * FROM documents WHERE lang = 'en'",
     score_phrases: bool = False,
+    min_should_match: int = 0,
 ) -> str:
     """Generate the DuckDB SQL equivalent for a fixed query-string set.
 
@@ -1248,7 +1305,8 @@ def query_string_oracle(
     (the same corpus restriction as the tokenize CTE).
     ``score_phrases`` mirrors the executors' opt-in phrase-frequency
     BM25 scoring (synthetic-term tf = chain END-position count, df =
-    docs containing the phrase, clause boost applied).
+    docs containing the phrase, clause boost applied);
+    ``min_should_match`` mirrors the Lucene candidacy knob.
     """
     parsed = {qid: parse_query(s) for qid, s in queries}
     termlike = {"term", "phrase", "prefix", "wildcard", "regexp", "fuzzy"}
@@ -1368,6 +1426,26 @@ def query_string_oracle(
 
     # candidate parts, mirroring the executor's per-query split:
     # filter∩must, filter-only, must-only, should-only
+    msm = max(int(min_should_match), 0)
+    msm_qids = (
+        {
+            qid
+            for qid, cs in parsed.items()
+            if (n_must[qid] > 0 or pos_preds[qid] is not None)
+            and any(c.occur == SHOULD and c.kind in termlike for c in cs)
+        }
+        if msm > 0
+        else set()
+    )
+
+    def _msm_and(qid: int) -> str:
+        if qid not in msm_qids:
+            return ""
+        return (
+            f" AND doc_id IN (SELECT doc_id FROM scounts"
+            f" WHERE query_id = {qid} AND n_s >= {msm})"
+        )
+
     cand_parts: list[str] = []
     nothits_parts: list[str] = []
     for qid in parsed:
@@ -1378,15 +1456,18 @@ def query_string_oracle(
                 cand_parts.append(
                     f"SELECT query_id, doc_id FROM must_ok "
                     f"WHERE query_id = {qid} AND doc_id IN ({fsel})"
+                    + _msm_and(qid)
                 )
             else:
                 cand_parts.append(
                     f"SELECT CAST({qid} AS BIGINT) AS query_id, doc_id FROM attr "
                     f"WHERE {pos}"
+                    + _msm_and(qid).replace(" doc_id IN", " attr.doc_id IN")
                 )
         elif n_must[qid] > 0:
             cand_parts.append(
                 f"SELECT query_id, doc_id FROM must_ok WHERE query_id = {qid}"
+                + _msm_and(qid)
             )
         neg = neg_preds[qid]
         if neg is not None:
@@ -1395,11 +1476,19 @@ def query_string_oracle(
                 f"WHERE {neg}"
             )
     if should_qids:
-        cand_parts.append(
-            "SELECT query_id, doc_id FROM shouldhits WHERE query_id IN ("
-            + ", ".join(str(q) for q in should_qids)
-            + ")"
-        )
+        if msm > 1:
+            cand_parts.append(
+                f"SELECT query_id, doc_id FROM scounts WHERE n_s >= {msm}"
+                " AND query_id IN ("
+                + ", ".join(str(q) for q in should_qids)
+                + ")"
+            )
+        else:
+            cand_parts.append(
+                "SELECT query_id, doc_id FROM shouldhits WHERE query_id IN ("
+                + ", ".join(str(q) for q in should_qids)
+                + ")"
+            )
     cand_sql = (
         "\n  UNION\n  ".join(cand_parts)
         if cand_parts
@@ -1456,6 +1545,10 @@ must_ok AS (
   {must_ok}
 ),
 shouldhits AS (SELECT DISTINCT query_id, doc_id FROM allhits WHERE occur = 'should'),
+scounts AS (
+  SELECT query_id, doc_id, count(DISTINCT clause_id) AS n_s
+  FROM allhits WHERE occur = 'should' GROUP BY query_id, doc_id
+),
 cand AS (
   {cand_sql}
 ),

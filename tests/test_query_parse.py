@@ -599,3 +599,94 @@ def test_explain_includes_scored_phrases(spark, sf_dir):
             continue
         assert parts, h
         assert abs(sum(p.contribution for p in parts) - h.score) < 1e-4, h
+
+
+def test_min_should_match(spark):
+    """Lucene minimumShouldMatch: candidacy requires >= msm distinct
+    should clauses (on top of musts); scoring is untouched for the
+    docs that survive; an unsatisfiable threshold matches nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd", "en"),
+            (2, "aa xx yy zz", "en"),
+            (3, "aa bb xx yy", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    q = [(0, "aa bb cc")]
+    base = {
+        r.doc_id: r.score
+        for r in search_query_strings(spark, docs, q).collect()
+    }
+    assert set(base) == {1, 2, 3}
+    for msm, expect in [(2, {1, 3}), (3, {1}), (4, set())]:
+        rows = search_query_strings(
+            spark, docs, q, min_should_match=msm
+        ).collect()
+        assert {r.doc_id for r in rows} == expect, msm
+        # survivors keep their unfiltered scores: candidacy only
+        assert all(r.score == base[r.doc_id] for r in rows), msm
+    # msm applies ON TOP of musts: must 'aa' AND >= 2 of the shoulds
+    rows = search_query_strings(
+        spark, docs, [(0, "+aa bb cc dd")], min_should_match=2
+    ).collect()
+    assert {r.doc_id for r in rows} == {1}
+
+
+_MSM_QUERIES = [
+    (0, "merge join stream"),        # should-only, msm prunes
+    (1, "+data merge join"),         # must + shoulds, msm on top
+    (2, "mer* join"),                # expansion counts as one clause
+    (3, "merge"),                    # fewer shoulds than msm → empty
+]
+
+
+def test_min_should_match_matches_generated_oracle(spark, sf_dir):
+    import duckdb
+
+    from test_driver_contract import _assert_frames_match
+
+    from keywords4cv_spark.driver_queries import _TF_CTES, _docs
+    from keywords4cv_spark.query.parse import query_string_oracle
+
+    got = search_query_strings(
+        spark, _docs(spark, sf_dir), _MSM_QUERIES, min_should_match=2
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(
+        query_string_oracle(_MSM_QUERIES, _TF_CTES, min_should_match=2)
+    ).fetchdf()
+    assert len(got) > 0
+    assert not (got.query_id == 3).any()  # unsatisfiable → no rows
+    _assert_frames_match("min_should_match", got, want)
+
+
+def test_min_should_match_indexed_rank_identical(spark, sf_dir):
+    """Indexed executor under msm=2 (WAND fast path bypassed — WAND
+    answers the msm<=1 disjunction) reproduces the index-free path."""
+    from keywords4cv_spark.driver_queries import (
+        _docs,
+        _index_for,
+        _pos_index_for,
+    )
+    from keywords4cv_spark.query.parse import search_query_strings_indexed
+
+    index, icfg = _index_for(spark, sf_dir)
+    pos_index = _pos_index_for(spark, sf_dir)
+    want = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings(
+            spark, _docs(spark, sf_dir), _MSM_QUERIES, icfg, min_should_match=2
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 6))
+        for r in search_query_strings_indexed(
+            spark, index, pos_index, _MSM_QUERIES, icfg, min_should_match=2
+        ).collect()
+    }
+    assert want
+    assert got == want
