@@ -63,7 +63,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry's query_string_search entry runs the INDEXED executor
 # (r5-late switch — the production plan; the index-free twin stays
 # rank-identity-pinned in tests); it sits in the r6 debt block so its
-# first gate row will certify the indexed path directly.
+# first gate row will certify the indexed path directly. Further
+# r5-late opt-ins (score_phrases, min_should_match — both default OFF
+# so every gated result is unchanged) are pytest-pinned via generated
+# oracles + indexed rank identity; r5 session close-out: 235-test
+# suite green, full 100-query gate simulated from /tmp at HEAD with
+# FAILS: [].
 _GATE_PRIORITY = [
     # --- r5 gate window (50) ---
     "bm25_recrawl_topk",
