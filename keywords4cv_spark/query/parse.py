@@ -994,6 +994,7 @@ def search_with_snippets(
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     doc_attrs: DataFrame | None = None,
     score_phrases: bool = False,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """The full search response: indexed query-string retrieval plus a
     highlighted snippet per hit — (query_id, rank, doc_id, score,
@@ -1019,6 +1020,7 @@ def search_with_snippets(
         fuzzy_max_expansions,
         doc_attrs,
         score_phrases,
+        min_should_match,
     )
     if cterm is None:
         return (
@@ -1145,6 +1147,7 @@ def explain_query_strings(
     fuzzy_max_expansions: int = FUZZY_MAX_EXPANSIONS,
     doc_attrs: DataFrame | None = None,
     score_phrases: bool = False,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Score decomposition for query-string hits — the parser-level
     `explain` API: one row per (query, hit, matched scoring term) with
@@ -1174,6 +1177,7 @@ def explain_query_strings(
         fuzzy_max_expansions,
         doc_attrs,
         score_phrases,
+        min_should_match,
     )
     out_schema = (
         "query_id long, rank int, doc_id long, term string, tf long,"
