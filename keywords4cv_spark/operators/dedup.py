@@ -291,10 +291,11 @@ def dup_components(
 
     Iterative min-label propagation with pointer jumping (the doubling
     trick of the large-star/small-star Spark pattern): every node starts
-    labelled with itself; each round every node takes the min label over
-    its closed neighborhood AND then follows its label's label — so the
-    reach doubles per round and a diameter-D component converges in
-    O(log D) rounds, not D. Convergence is detected from Σ labels (labels
+    at its closed-neighborhood min (computed in the same groupBy that
+    enumerates the nodes — a free first half-round); each round every
+    node takes the min label over its closed neighborhood AND then
+    follows its label's label — so the reach doubles per round and a
+    diameter-D component converges in O(log D) rounds, not D. Convergence is detected from Σ labels (labels
     only ever decrease, so an unchanged sum ⇒ a fixed point) — one tiny
     agg instead of a join-and-count per round. The sum runs in
     decimal(38,0): an int64 sum could silently wrap at the 10^12-doc
@@ -306,32 +307,43 @@ def dup_components(
     never wrongly merged), not the true components.
     """
     import logging
+    # no distinct: verified pairs have doc_a < doc_b, so the two
+    # directions are disjoint, and the groupBy min below absorbs any
+    # residual duplicate edge for free — the distinct was a pure extra
+    # corpus-of-edges shuffle (guide §2.4: remove shuffles outright)
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
         .persist()
     )
+    # initial labels = closed-neighborhood min straight off the edge
+    # relation: ONE groupBy replaces the old distinct-nodes pass AND the
+    # first iteration's neighbor-min round (labels only ever shrink, so
+    # starting at the round-0 half-step is a pure head start)
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("m")).alias("label"),
+        )
         .localCheckpoint()
     )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(label_sum).collect()[0][0]
     converged = False
     for _ in range(max_iterations):
-        neigh_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("neigh_label"))
+        # closed-neighborhood min in ONE aggregation: neighbor labels
+        # unioned with each node's own label row, then min per node —
+        # one exchange fewer per round than the join+groupBy+left-join
+        # shape this replaces (the self row also keeps isolated nodes)
+        neigh = sym.join(labels, sym.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"), "label"
         )
-        half = labels.join(neigh_min, labels.doc_id == neigh_min.src, "left").select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("neigh_label"), F.col("label"))
-            ).alias("label"),
+        half = (
+            neigh.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
         )
         # pointer jump: follow the label's own label (labels are always
         # existing node ids, so the self-join is total for non-roots)

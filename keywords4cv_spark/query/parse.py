@@ -593,6 +593,19 @@ def _boolean_rank(
 
     cand_parts: list[DataFrame] = []
     neg_parts: list[DataFrame] = []
+    # must-only queries without attribute filters share ONE bulk branch:
+    # the per-qid loop below would re-execute the must_ok subtree once
+    # per query (filters/msm still get their per-query branches)
+    bulk_must = [
+        q
+        for q in must_qids
+        if not has_pos_filter[q] and q not in msm_qids
+    ]
+    if bulk_must:
+        fc = must_ok
+        if len(bulk_must) < len(must_qids):
+            fc = must_ok.filter(F.col("query_id").isin(bulk_must))
+        cand_parts.append(fc)
     for qid, cs in parsed.items():
         pos = _pred(cs, positive=True) if has_pos_filter[qid] else None
         fcand = None
@@ -606,7 +619,7 @@ def _boolean_rank(
                 fcand = must_ok.filter(F.col("query_id") == qid).join(
                     fcand.select("query_id", "doc_id"), ["query_id", "doc_id"]
                 )
-        elif n_must[qid] > 0:
+        elif n_must[qid] > 0 and qid not in bulk_must:
             fcand = must_ok.filter(F.col("query_id") == qid)
         if fcand is not None:
             if qid in msm_qids:
@@ -804,9 +817,12 @@ def _phrase_bm25_contrib(
     )
 
 
-def _decode_postings(spark, index, wanted: DataFrame) -> DataFrame:
+def _decode_postings(spark, index, wanted) -> DataFrame:
     """Decode the posting blocks of the requested term_ids →
-    (term_id, doc_id, tf, dl).
+    (term_id, doc_id, tf, dl). ``wanted`` is a (term_id) DataFrame or a
+    plain list of term_ids — the indexed executor resolves clause terms
+    driver-side, so passing the list skips the distinct-bucket collect
+    job entirely (the bucket set is computed in Python for free).
 
     The prefix_query decode discipline: bucket-partition pruning from
     the (n_term_buckets-bounded) distinct bucket set, then one
@@ -817,20 +833,33 @@ def _decode_postings(spark, index, wanted: DataFrame) -> DataFrame:
     from keywords4cv_spark.index.codec import decode_block
 
     srow = index.stats_row()
+    term_ids = None
+    if not isinstance(wanted, DataFrame):
+        term_ids = sorted({int(t) for t in wanted})
+        if not term_ids:
+            return spark.createDataFrame(
+                [], "term_id long, doc_id long, tf long, dl long"
+            )
+        wanted = spark.createDataFrame([(t,) for t in term_ids], "term_id long")
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
         nb = int(srow["n_term_buckets"])
-        buckets = sorted(
-            int(r["bucket"])
-            for r in wanted.select((F.col("term_id") % F.lit(nb)).alias("bucket"))
-            .distinct()
-            .collect()
-        )
+        if term_ids is not None:
+            buckets = sorted({t % nb for t in term_ids})
+        else:
+            buckets = sorted(
+                int(r["bucket"])
+                for r in wanted.select((F.col("term_id") % F.lit(nb)).alias("bucket"))
+                .distinct()
+                .collect()
+            )
         if not buckets:
             return spark.createDataFrame(
                 [], "term_id long, doc_id long, tf long, dl long"
             )
         scan = scan.filter(F.col("bucket").isin(buckets))
+    if term_ids is not None:
+        scan = scan.filter(F.col("term_id").isin(term_ids))
     blocks = scan.join(F.broadcast(wanted), "term_id")
 
     def explode(batches):
@@ -887,12 +916,32 @@ def _indexed_phrases(
     pdetail = None
     if not phrase_clauses:
         return phits, None
-    by_slop: dict[int, list[tuple[int, int, Clause]]] = {}
-    for qid, cid, c in phrase_clauses:
-        by_slop.setdefault(c.slop, []).append((qid, cid, c))
+    # ONE positional pass for every phrase clause via per-phrase slops
+    # (proximity_search's ``slops``) — one decode + one applyInPandas
+    # stage instead of one per distinct slop. Only the degenerate case
+    # of the SAME phrase text under two different slops (ambiguous key)
+    # falls back to per-slop groups.
+    phrase_slops: dict[str, int] = {}
+    collision = False
+    for _, _, c in phrase_clauses:
+        ph = " ".join(c.terms)
+        if phrase_slops.setdefault(ph, c.slop) != c.slop:
+            collision = True
+            break
+    if not collision:
+        by_slop = {-1: phrase_clauses}
+    else:
+        by_slop = {}
+        for qid, cid, c in phrase_clauses:
+            by_slop.setdefault(c.slop, []).append((qid, cid, c))
     for slop, group in by_slop.items():
         phrases = sorted({" ".join(c.terms) for _, _, c in group})
-        matched = proximity_search(spark, pos_index, phrases, slop=slop)
+        if slop < 0:
+            matched = proximity_search(
+                spark, pos_index, phrases, slops=phrase_slops
+            )
+        else:
+            matched = proximity_search(spark, pos_index, phrases, slop=slop)
         if score_phrases:
             matched = matched.persist()
         cmap = spark.createDataFrame(
@@ -1060,6 +1109,22 @@ def _indexed_search(
     cterm = _clause_terms(
         spark, dictionary, parsed, max_expansions, fuzzy_max_expansions
     )
+    # The expanded clause-term relation is expansion-capped by
+    # construction (≤ max_expansions·|clauses| rows): materialize it
+    # driver-side ONCE. Every downstream consumer — the WAND triples,
+    # the decode term/bucket pruning, the broadcast hit join — reuses
+    # the local rows instead of re-executing the dictionary-probe
+    # subtree per use (it used to run 3+ times per call: once for the
+    # triples collect, once for the bucket collect, once inside the
+    # posting join), and the probe collapses to one Spark job per call.
+    CTERM_SCHEMA = (
+        "query_id long, clause_id long, occur string, term string,"
+        " term_id long, df long, boost double"
+    )
+    cterm_rows = cterm.collect() if cterm is not None else []
+    cterm = (
+        spark.createDataFrame(cterm_rows, CTERM_SCHEMA) if cterm_rows else None
+    )
 
     # ---- WAND fast path: pure-disjunctive queries -------------------
     # A query whose every clause is a scoring SHOULD (term/prefix/fuzzy
@@ -1069,47 +1134,78 @@ def _indexed_search(
     # boosts map to WAND term weights (both scale idf, and the weight
     # scales the stored block-max bound, so pruning stays exact).
     wand_qids = wand_eligible_qids(parsed) if min_should_match <= 1 else []
-    ranked_w = None
     if wand_qids and cterm is not None:
-        triples = [
-            (int(r["query_id"]), r["term"], float(r["boost"]))
-            for r in cterm.filter(F.col("query_id").isin(wand_qids))
-            .groupBy("query_id", "term")
-            .agg(F.max("boost").alias("boost"))
-            .collect()  # expansion-capped: ≤ max_expansions·|clauses| rows
-        ]
-        if triples:
-            ranked_w = bm25_wand(spark, index, cfg, k, queries=triples)
-        parsed_gen = {q: cs for q, cs in parsed.items() if q not in set(wand_qids)}
-        cterm_gen = cterm.filter(~F.col("query_id").isin(wand_qids))
+        wand_set = set(wand_qids)
+        best: dict[tuple[int, str], float] = {}
+        for r in cterm_rows:
+            if int(r["query_id"]) in wand_set:
+                key = (int(r["query_id"]), r["term"])
+                b = float(r["boost"])
+                if b > best.get(key, float("-inf")):
+                    best[key] = b
+        triples = [(qid, t, b) for (qid, t), b in sorted(best.items())]
+        ranked_w = bm25_wand(spark, index, cfg, k, queries=triples) if triples else None
+        parsed_gen = {q: cs for q, cs in parsed.items() if q not in wand_set}
+        gen_rows = [r for r in cterm_rows if int(r["query_id"]) not in wand_set]
+        cterm_gen = (
+            spark.createDataFrame(gen_rows, CTERM_SCHEMA) if gen_rows else None
+        )
         if not any(
             c.kind in ("term", "prefix", "wildcard", "regexp", "fuzzy")
             for cs in parsed_gen.values()
             for c in cs
         ):
-            cterm_gen = None
+            cterm_gen, gen_rows = None, []
     else:
-        parsed_gen, cterm_gen = parsed, cterm
+        ranked_w = None
+        parsed_gen, cterm_gen, gen_rows = parsed, cterm, cterm_rows
 
     if cterm_gen is not None:
+        # persist the DECODED postings (they feed both the hit relation
+        # and the scoring aggregate); the clause joins against them are
+        # broadcast map-side and need no materialization of their own
         posts = _decode_postings(
-            spark, index, cterm_gen.select("term_id").distinct()
-        )
-        joined = posts.join(F.broadcast(cterm_gen), "term_id").persist()
+            spark, index, [int(r["term_id"]) for r in gen_rows]
+        ).persist()
         srow = index.stats_row()
-        scored = (
-            joined.filter(F.col("occur") != MUST_NOT)
-            .groupBy("query_id", "term_id", "doc_id", "tf", "dl", "df")
-            .agg(F.max("boost").alias("boost"))
-            .withColumn("n_docs", F.lit(int(srow["n_docs"])))
-            .withColumn("avgdl", F.lit(float(srow["avgdl"])))
-            .withColumn("contrib", bm25_score_col(cfg) * F.col("boost"))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
-        thits = joined.select(
+        # per-(query, term) boost dedup across clauses is driver-side
+        # arithmetic over the local clause rows — the old plan paid a
+        # corpus-hits-sized groupBy for it before the scoring aggregate
+        sbest: dict[tuple[int, int], tuple[str, int, float]] = {}
+        for r in gen_rows:
+            if r["occur"] == MUST_NOT:
+                continue
+            key = (int(r["query_id"]), int(r["term_id"]))
+            b = float(r["boost"])
+            if key not in sbest or b > sbest[key][2]:
+                sbest[key] = (r["term"], int(r["df"]), b)
+        if sbest:
+            cterm_score = spark.createDataFrame(
+                [
+                    (qid, tid, term, df_, b)
+                    for (qid, tid), (term, df_, b) in sorted(sbest.items())
+                ],
+                "query_id long, term_id long, term string, df long, boost double",
+            )
+            scored = (
+                posts.join(F.broadcast(cterm_score), "term_id")
+                .withColumn("n_docs", F.lit(int(srow["n_docs"])))
+                .withColumn("avgdl", F.lit(float(srow["avgdl"])))
+                .withColumn("contrib", bm25_score_col(cfg) * F.col("boost"))
+                .groupBy("query_id", "doc_id")
+                .agg(F.sum("contrib").alias("score"))
+            )
+        else:
+            scored = spark.createDataFrame(
+                [], "query_id long, doc_id long, score double"
+            )
+        # no distinct here: rows are unique per (query, clause, term,
+        # doc) and every consumer in _boolean_rank aggregates with
+        # countDistinct / distinct anyway — the dedup was a pure extra
+        # shuffle of the hit relation
+        thits = posts.join(F.broadcast(cterm_gen), "term_id").select(
             "query_id", "clause_id", "occur", "doc_id"
-        ).distinct()
+        )
     else:
         scored = spark.createDataFrame([], "query_id long, doc_id long, score double")
         thits = empty_hits

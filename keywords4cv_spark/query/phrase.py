@@ -53,13 +53,18 @@ def phrase_search(
         terms = tokenize(phrase)
         n_terms[phrase] = len(terms)
         rows.extend((phrase, i, t) for i, t in enumerate(terms))
-    qdf = spark.createDataFrame(rows, "phrase string, ord int, term string")
-    qterms = qdf.join(index.dictionary, "term").select("phrase", "ord", "term_id")
-    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    # driver-memoized dictionary probe (IndexTables.lookup_terms):
+    # replaces a per-call qdf ⋈ dictionary + distinct().collect() pair —
+    # repeated phrase batches resolve term_ids with ZERO Spark jobs, and
+    # the bucket pruning predicate is known driver-side for free
+    lut = index.lookup_terms([t for _, _, t in rows])
+    qrows = [(ph, i, lut[t][0]) for ph, i, t in rows if t in lut]
+    term_ids = sorted({tid for _, _, tid in qrows})
     if not term_ids:
         return spark.createDataFrame(
             [], "phrase string, doc_id long, n_occurrences long"
         )
+    qterms = spark.createDataFrame(qrows, "phrase string, ord int, term_id long")
     srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
@@ -137,6 +142,7 @@ def proximity_search(
     index: IndexTables,
     phrases: list[str],
     slop: int = 0,
+    slops: dict[str, int] | None = None,
 ) -> DataFrame:
     """(phrase, doc_id, n_occurrences): ordered proximity match — the
     Lucene sloppy-PhraseQuery analog. Terms must appear IN ORDER with
@@ -149,6 +155,11 @@ def proximity_search(
     greedy earliest-extension which misses chains at n ≥ 3. For
     slop=0 this equals phrase_search's adjacency count.
 
+    ``slops`` optionally overrides the slop PER PHRASE (phrase → slop),
+    so a caller with mixed-slop clause groups runs ONE decode pass and
+    one applyInPandas stage instead of one per distinct slop; phrases
+    absent from the dict use the scalar ``slop``.
+
     Same Spark shape as phrase_search: pruned positional blocks →
     (phrase, doc-band) groups → numpy DP per doc.
     """
@@ -157,17 +168,23 @@ def proximity_search(
     ensure_py_files(spark)
     rows = []
     n_terms: dict[str, int] = {}
+    gap_by_phrase: dict[str, int] = {}
     for phrase in phrases:
         terms = tokenize(phrase)
         n_terms[phrase] = len(terms)
+        gap_by_phrase[phrase] = 1 + (
+            slops.get(phrase, slop) if slops is not None else slop
+        )
         rows.extend((phrase, i, t) for i, t in enumerate(terms))
-    qdf = spark.createDataFrame(rows, "phrase string, ord int, term string")
-    qterms = qdf.join(index.dictionary, "term").select("phrase", "ord", "term_id")
-    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    # driver-memoized dictionary probe — see phrase_search
+    lut = index.lookup_terms([t for _, _, t in rows])
+    qrows = [(ph, i, lut[t][0]) for ph, i, t in rows if t in lut]
+    term_ids = sorted({tid for _, _, tid in qrows})
     if not term_ids:
         return spark.createDataFrame(
             [], "phrase string, doc_id long, n_occurrences long"
         )
+    qterms = spark.createDataFrame(qrows, "phrase string, ord int, term_id long")
     srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
@@ -179,11 +196,12 @@ def proximity_search(
         F.broadcast(qterms), "term_id"
     )
     n_terms_b = spark.sparkContext.broadcast(n_terms)
-    max_gap = 1 + slop
+    gaps_b = spark.sparkContext.broadcast(gap_by_phrase)
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         phrase = pdf["phrase"].iloc[0]
         want = n_terms_b.value[phrase]
+        max_gap = gaps_b.value[phrase]
         per_ord: dict[int, dict[int, np.ndarray]] = {}
         # column zip, not iterrows: each "row" is a 128-posting block,
         # but per-row Series construction still costs; zipping the four

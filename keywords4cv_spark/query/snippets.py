@@ -100,12 +100,21 @@ def snippet_windows_for_hits(
         hit_map.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
     hits_b = spark.sparkContext.broadcast(hit_map)
 
-    qterms = qterms_df.join(index.dictionary, "term").select(
-        "query_id", "term", "term_id"
-    )
-    term_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    # the highlight-term set is query-bounded (driver-small): resolve it
+    # driver-side through the memoized dictionary probe instead of a
+    # per-call join + distinct().collect() pair (zero jobs when warm)
+    qt_rows = [
+        (int(r["query_id"]), r["term"])
+        for r in qterms_df.select("query_id", "term").collect()
+    ]
+    lut = index.lookup_terms([t for _, t in qt_rows])
+    resolved = [(qid, t, lut[t][0]) for qid, t in qt_rows if t in lut]
+    term_ids = sorted({tid for _, _, tid in resolved})
     if not term_ids or not hit_map:
         return spark.createDataFrame([], OUT_SCHEMA)
+    qterms = spark.createDataFrame(
+        resolved, "query_id long, term string, term_id long"
+    )
     srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:

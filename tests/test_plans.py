@@ -331,7 +331,19 @@ def test_query_string_indexed_reads_postings_not_corpus(spark, sf_dir):
     assert "documents.parquet" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
-    # the regexp expansion is a broadcast join with prefix pushdown
-    assert "RLIKE" in plan or "rlike" in plan, plan
-    assert "StartsWith" in plan, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # the r6 executor materializes the (expansion-capped) clause-term
+    # relation driver-side once, so the dictionary-expansion subtree
+    # runs in its own job rather than inside the final plan — assert
+    # its shape separately: broadcast join with the regexp clause's
+    # literal-prefix StartsWith pushdown next to the anchored RLIKE
+    from keywords4cv_spark.query.parse import _clause_terms, parse_query
+
+    parsed = {qid: parse_query(s) for qid, s in qs}
+    cterm = _clause_terms(
+        spark, index.dictionary.select("term", "term_id", "df"), parsed, 64, 16
+    )
+    eplan = cterm._jdf.queryExecution().executedPlan().toString()
+    assert "RLIKE" in eplan or "rlike" in eplan, eplan
+    assert "StartsWith" in eplan, eplan
+    assert "BroadcastHashJoin" in eplan or "BroadcastNestedLoopJoin" in eplan, eplan
+    assert "ShuffledHashJoin" not in eplan, eplan
