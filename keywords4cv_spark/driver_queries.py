@@ -283,17 +283,15 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 """,
 )
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top bigrams (G1 n=2) — posexplode + window twin of the SQL."""
-    toks = tokenized_docs(_docs(spark, sf_dir), CFG)
-    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = pos.withColumn("nxt", F.lead("term").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
+    """Top bigrams (G1 n=2) — fused tokenize+partial-count pass
+    (textprep/fused.py): the only exchange carries per-batch
+    gram-vocabulary partials, not the corpus (the posexplode + lead
+    window twin paid a corpus-wide shuffle+sort before counting)."""
+    from keywords4cv_spark.textprep.fused import gram_counts
+
     return (
-        big.select(F.concat_ws(" ", "term", "nxt").alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count("*").alias("n"))
+        gram_counts(_docs(spark, sf_dir), CFG, 2)
+        .select(F.col("gram").alias("bigram"), "n")
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(50)
     )
@@ -360,7 +358,16 @@ best AS (
 SELECT probe, term, distance FROM best WHERE rn = 1""",
 )
 def q_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return scoring.fuzzy_resolve(spark, _docs(spark, sf_dir), cfg=CFG)
+    # vocabulary from the committed index's dictionary — its term set is
+    # exactly the distinct corpus tokens (same tokenizer, same lang
+    # filter), so the tokenize + corpus-wide distinct pass disappears
+    index, _icfg = _index_for(spark, sf_dir)
+    return scoring.fuzzy_resolve(
+        spark,
+        _docs(spark, sf_dir),
+        cfg=CFG,
+        terms=index.dictionary.select("term"),
+    )
 
 
 def _sql_ratio(a: str, b: str) -> str:
@@ -3663,12 +3670,15 @@ JOIN ranked r ON r.query_id = p.query_id AND r.doc_id = p.doc_id
 WHERE r.rank <= {TOP_K}""",
 )
 def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score decomposition for the top-k hits — see
-    keywords4cv_spark/query/bm25.py:bm25_explain for semantics and
-    scale posture (output bounded by |Q|·k·|query terms|; the top-k
-    relation is broadcast back into the per-term contributions, so the
-    explain join adds no shuffle)."""
-    return bm25_explain(spark, _docs(spark, sf_dir), CFG, TOP_K)
+    """Score decomposition for the top-k hits — served from the
+    committed index (query/indexed.py:bm25_explain_indexed: memoized
+    dictionary probe + query-term postings decode; no corpus scan, no
+    tokenizer stage). The corpus-scan twin
+    (query/bm25.py:bm25_explain) stays as the rank-identity pin."""
+    from keywords4cv_spark.query.indexed import bm25_explain_indexed
+
+    index, _icfg = _index_for(spark, sf_dir)
+    return bm25_explain_indexed(spark, index, CFG, TOP_K)
 
 
 # --- more-like-this (Lucene MLT) ------------------------------------------
@@ -3714,12 +3724,17 @@ ranked AS (
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}""",
 )
 def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """More-like-this retrieval — see
-    keywords4cv_spark/query/bm25.py:more_like_this (probe-bounded term
-    selection by tf·idf, then one broadcast-joined BM25 pass over the
-    tf relation; the probe doc itself is excluded from its hit list)."""
-    return more_like_this(
-        spark, _docs(spark, sf_dir), CFG, TOP_K, _MLT_PROBES, _MLT_TERMS
+    """More-like-this retrieval — served from the committed index
+    (query/indexed.py:more_like_this_indexed: probes from docmeta,
+    driver-side interesting-term ranking over the n_probes texts, one
+    postings decode of the selected term_ids; the probe doc itself is
+    excluded from its hit list). The corpus-scan twin
+    (query/bm25.py:more_like_this) stays as the rank-identity pin."""
+    from keywords4cv_spark.query.indexed import more_like_this_indexed
+
+    index, _icfg = _index_for(spark, sf_dir)
+    return more_like_this_indexed(
+        spark, index, _docs(spark, sf_dir), CFG, TOP_K, _MLT_PROBES, _MLT_TERMS
     )
 
 
@@ -3759,10 +3774,17 @@ FROM ranked WHERE rank <= {TOP_K}""",
 )
 def q_bm25_collapsed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-collapsed retrieval: at most one hit per (query, source)
-    — see keywords4cv_spark/query/bm25.py:bm25_collapse (exact
-    collapse over the full scored stream via a (query, key)-partitioned
-    window, then the usual top-k)."""
-    return bm25_collapse(spark, _docs(spark, sf_dir), CFG, TOP_K, "source")
+    — served from the committed index
+    (query/indexed.py:bm25_collapse_indexed: query-term postings decode
+    for the scored stream, collapse keys from the slim docmeta table;
+    exact collapse over the full scored stream via a
+    (query, key)-partitioned window, then the usual top-k). The
+    corpus-scan twin (query/bm25.py:bm25_collapse) stays as the
+    rank-identity pin."""
+    from keywords4cv_spark.query.indexed import bm25_collapse_indexed
+
+    index, _icfg = _index_for(spark, sf_dir)
+    return bm25_collapse_indexed(spark, index, CFG, TOP_K, "source")
 
 
 # --- index observability (the Elasticsearch _cat/segments analog) --------
@@ -3961,35 +3983,39 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction: pointwise mutual information of corpus
     bigrams above a count floor — the classic phrase-quality signal the
     reference's n-gram keyword scoring approximates with frequency
-    alone. Two hash aggregations (bigram counts, unigram counts) + two
-    scalar collects; the PMI join keys on the bigram's component
-    tokens (|V|-sized sides), nothing quadratic."""
-    from keywords4cv_spark.index.build import tokenized_docs
+    alone. ONE fused tokenize pass emits unigram AND bigram partial
+    counts together (textprep/fused.py — the old shape re-ran the
+    tokenize→posexplode lineage per width plus a window shuffle);
+    the localCheckpointed count relation is |V|+|bigram-vocab|-sized,
+    the scalar totals fold over it, and the PMI join keys on the
+    bigram's component tokens — nothing quadratic."""
+    from keywords4cv_spark.textprep.fused import gram_partial_counts
 
-    pos = tokenized_docs(_docs(spark, sf_dir), CFG).select(
-        "doc_id", F.posexplode("tokens").alias("pos", "t")
+    counts = (
+        gram_partial_counts(_docs(spark, sf_dir), CFG, (1, 2))
+        .groupBy("width", "gram")
+        .agg(F.sum("pn").alias("n"))
+        .localCheckpoint()
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prs = pos.select("t", F.lead("t", 1).over(w).alias("t2")).filter(
-        F.col("t2").isNotNull()
+    uni = counts.filter(F.col("width") == 1).select(
+        F.col("gram").alias("t"), F.col("n").cast("double").alias("cu")
     )
-    # the scalar totals fold over the two count relations (|V|- and
-    # |bigram-vocab|-sized) instead of re-running the corpus-sized
-    # tokenize→explode lineage once per action: two corpus passes total
-    uni = pos.groupBy("t").agg(F.count("*").cast("double").alias("cu"))
-    uni = uni.localCheckpoint()
+    big_all = counts.filter(F.col("width") == 2).select("gram", "n")
     n1 = float(uni.agg(F.sum("cu")).collect()[0][0])
-    big_all = prs.groupBy("t", "t2").agg(F.count("*").alias("n"))
-    big_all = big_all.localCheckpoint()
     n2 = float(big_all.agg(F.sum("n")).collect()[0][0])
-    big = big_all.filter(F.col("n") >= _PMI_MIN_COUNT)
+    big = big_all.filter(F.col("n") >= _PMI_MIN_COUNT).select(
+        "gram",
+        "n",
+        F.split("gram", " ").getItem(0).alias("t"),
+        F.split("gram", " ").getItem(1).alias("t2"),
+    )
     a = uni.select("t", F.col("cu").alias("ca"))
     b = uni.select(F.col("t").alias("t2"), F.col("cu").alias("cb"))
     return (
         big.join(a, "t")
         .join(b, "t2")
         .select(
-            F.concat_ws(" ", "t", "t2").alias("bigram"),
+            F.col("gram").alias("bigram"),
             F.col("n").cast("long").alias("n"),
             F.round(
                 F.log(

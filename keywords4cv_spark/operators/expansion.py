@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
-from keywords4cv_spark.index.build import tokenized_docs
 
 def _load_default_synonyms() -> list[tuple[str, str]]:
     """The engine's synonym vocabulary, loaded from the packaged
@@ -96,19 +95,52 @@ def synonym_expanded_counts(
     spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Per-term counts after synonym expansion: every corpus occurrence of
-    a term also counts once per synonym (explode over the broadcast map)."""
-    syn = spark.createDataFrame(SYNONYMS, "term string, synonym string")
-    toks = tokenized_docs(docs, cfg)
-    terms = toks.select("doc_id", F.explode("tokens").alias("term"))
-    # union-all, not left-join+array: a term with MULTIPLE synonyms must
-    # contribute its literal occurrence once, plus one per synonym
-    lits = terms.select("doc_id", F.col("term").alias("out_term"))
-    syns = terms.join(F.broadcast(syn), "term").select(
-        "doc_id", F.col("synonym").alias("out_term")
+    a term also counts once per synonym.
+
+    The synonym map is a tiny driver-side constant, so the expansion is
+    applied INSIDE one fused tokenize + partial-count pass (same shape
+    as textprep/fused.py): the only exchange carries per-batch
+    vocabulary partials — the explode → broadcast-join → union →
+    groupBy shape this replaces streamed the corpus token relation
+    twice through the aggregation."""
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    syn: dict[str, list[str]] = {}
+    for t, s in SYNONYMS:
+        syn.setdefault(t, []).append(s)
+    if cfg.lang_filter and "lang" in docs.columns:
+        docs = docs.filter(F.col("lang") == cfg.lang_filter)
+    min_len, stop = cfg.min_token_len, cfg.stopwords
+
+    def batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        from keywords4cv_spark.textprep.normalize import tokenize
+
+        for pdf in it:
+            c: Counter = Counter()
+            for text in pdf["text"]:
+                for t in tokenize(text, min_len, stop):
+                    c[t] += 1
+                    for s in syn.get(t, ()):
+                        c[s] += 1
+            if c:
+                yield pd.DataFrame(
+                    {
+                        "term": list(c.keys()),
+                        "pn": pd.array(list(c.values()), dtype="int64"),
+                    }
+                )
+
+    return (
+        docs.select("text")
+        .mapInPandas(batches, "term string, pn long")
+        .groupBy("term")
+        .agg(F.sum("pn").alias("n"))
     )
-    return lits.unionByName(syns).groupBy(
-        F.col("out_term").alias("term")
-    ).agg(F.count("*").alias("n"))
 
 
 def surviving_bigrams(
@@ -124,35 +156,29 @@ def surviving_bigrams(
     head tokens ("the" bigrams × "the" trigrams), which is the same
     skew lesson as the SPIMI build, applied to vocabulary joins.
     """
-    # posexplode + lead windows beat the HOF slice/transform n-gram
-    # expression ~10× at corpus scale (interpreted HOF overhead)
-    from pyspark.sql.window import Window
+    # ONE fused tokenize pass emits bigram AND trigram partial counts
+    # together (textprep/fused.py) — the posexplode + lead-window shape
+    # this replaces ran the tokenize lineage once per gram width plus a
+    # corpus-wide window shuffle+sort; the localCheckpointed count
+    # relation is gram-vocabulary-sized
+    from keywords4cv_spark.textprep.fused import gram_partial_counts
 
-    pos = tokenized_docs(docs, cfg).select(
-        "doc_id", F.posexplode("tokens").alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = pos.select(
-        F.col("t"),
-        F.lead("t", 1).over(w).alias("t1"),
-        F.lead("t", 2).over(w).alias("t2"),
+    counts = (
+        gram_partial_counts(docs, cfg, (2, 3))
+        .groupBy("width", "gram")
+        .agg(F.sum("pn").alias("count"))
+        .filter(F.col("count") >= MIN_NGRAM_FREQ)
+        .localCheckpoint()
     )
     bigrams = (
-        grams.filter(F.col("t1").isNotNull())
-        .select(F.concat_ws(" ", "t", "t1").alias("bigram"))
-        .groupBy("bigram")
-        .count()
-        .filter(F.col("count") >= MIN_NGRAM_FREQ)
+        counts.filter(F.col("width") == 2)
+        .select(F.col("gram").alias("bigram"), "count")
         .withColumn("btoks", F.array_sort(F.array_distinct(F.split("bigram", " "))))
         .withColumn("key", F.concat_ws(" ", "btoks"))
     )
     ttoks = (
-        grams.filter(F.col("t2").isNotNull())
-        .select(F.concat_ws(" ", "t", "t1", "t2").alias("trigram"))
-        .groupBy("trigram")
-        .count()
-        .filter(F.col("count") >= MIN_NGRAM_FREQ)
-        .withColumn("ttoks", F.array_sort(F.array_distinct(F.split("trigram", " "))))
+        counts.filter(F.col("width") == 3)
+        .withColumn("ttoks", F.array_sort(F.array_distinct(F.split("gram", " "))))
         .select("ttoks")
         .distinct()
     )

@@ -112,6 +112,7 @@ def fuzzy_resolve(
     probes: list[str] | None = None,
     max_distance: int = 2,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """J3/W1/T2: best vocabulary match per probe by Levenshtein.
 
@@ -120,14 +121,20 @@ def fuzzy_resolve(
     reference's BK-tree (bk_tree_enhancement.py:27-70). Ties break on
     the lexicographically smallest match (deterministic, vs the
     reference's dict-order dependence, SURVEY.md §7.4).
+
+    Pass ``terms`` (a (term) DataFrame — e.g. the committed index's
+    dictionary, whose term set IS the distinct corpus vocabulary) to
+    skip the tokenize + corpus-wide distinct this otherwise derives
+    from ``docs``.
     """
     probes = probes if probes is not None else vocab.FUZZY_PROBES
     pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
-    terms = (
-        tokenized_docs(docs, cfg)
-        .select(F.explode("tokens").alias("term"))
-        .distinct()
-    )
+    if terms is None:
+        terms = (
+            tokenized_docs(docs, cfg)
+            .select(F.explode("tokens").alias("term"))
+            .distinct()
+        )
     cand = terms.join(
         F.broadcast(pdf),
         F.abs(F.length("term") - F.length("probe")) <= max_distance,
@@ -323,15 +330,14 @@ def fuzzy_match_scores(
     """
     probes = probes if probes is not None else vocab.FUZZY_PHRASE_PROBES
     pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
-    toks = tokenized_docs(docs, cfg)
-    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # fused tokenize + partial-count pass (textprep/fused.py): the only
+    # exchange carries gram-vocabulary partials, not the corpus — the
+    # posexplode + lead-window shape paid a corpus-wide shuffle+sort
+    from keywords4cv_spark.textprep.fused import gram_counts
+
     bigrams = (
-        pos.withColumn("nxt", F.lead("t").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.concat_ws(" ", "t", "nxt").alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count("*").alias("n"))
+        gram_counts(docs, cfg, 2)
+        .select(F.col("gram").alias("bigram"), "n")
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(top_bigrams)
         .select("bigram")
