@@ -364,7 +364,9 @@ def simhash_near_dups(
 
 
 def dup_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame,
+    max_iterations: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, rep_doc_id, component_size): connected components of the
     near-duplicate graph — the keep-one-per-group step after pair
@@ -386,6 +388,19 @@ def dup_components(
     Exhausting max_iterations without convergence logs a warning — the
     returned labels are then a valid partial refinement (over-split,
     never wrongly merged), not the true components.
+
+    Size gate (``local_threshold`` edges, the broadcast-threshold
+    pattern): near-dup edge lists are orders of magnitude smaller than
+    the corpus (LSH verification keeps only real duplicates), and an
+    iterative Spark loop over a driver-small graph pays ~1 s of
+    scheduling floor per round for microseconds of work. When the
+    symmetrized edge relation (already persisted and counted for the
+    loop anyway) fits the gate, the components are solved exactly with
+    a driver union-find — identical min-label/size output, zero loop
+    rounds. Above the gate (or with ``local_threshold=0``, which the
+    loop's tests force) the distributed doubling loop runs unchanged —
+    at 10^12 docs the edge list can be billions of rows and never
+    touches the driver.
     """
     import logging
     # no distinct: verified pairs have doc_a < doc_b, so the two
@@ -397,10 +412,46 @@ def dup_components(
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
+    n_sym = sym.count()
+    if n_sym <= 2 * local_threshold:
+        spark = edges.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sym.collect():
+            a, b = int(r["src"]), int(r["dst"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        sym.unpersist()
+        rep: dict[int, int] = {}
+        for x in parent:
+            rep[find(x)] = min(rep.get(find(x), x), x)
+        size: dict[int, int] = {}
+        for x in parent:
+            size[rep[find(x)]] = size.get(rep[find(x)], 0) + 1
+        rows = [(x, rep[find(x)], size[rep[find(x)]]) for x in parent]
+        return spark.createDataFrame(
+            rows, "doc_id long, rep_doc_id long, component_size long"
+        )
     # initial labels = closed-neighborhood min straight off the edge
     # relation: ONE groupBy replaces the old distinct-nodes pass AND the
     # first iteration's neighbor-min round (labels only ever shrink, so
     # starting at the round-0 half-step is a pure head start)
+    # lazy checkpoints throughout: the convergence-sum action is what
+    # materializes each round's label relation, so every round costs ONE
+    # Spark job instead of two (eager checkpoint + collect) — at the
+    # local-mode scheduling floor that halves the loop's fixed cost,
+    # and the checkpointed data is reused by the next round either way
     labels = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("m"))
@@ -408,7 +459,7 @@ def dup_components(
             F.col("src").alias("doc_id"),
             F.least(F.col("src"), F.col("m")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(label_sum).collect()[0][0]
@@ -439,7 +490,7 @@ def dup_components(
                     F.col("label"), F.coalesce(F.col("l_lab"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = updated.agg(label_sum).collect()[0][0]
         labels = updated

@@ -278,6 +278,22 @@ def test_dup_components_label_propagation(spark):
     }
 
 
+def test_dup_components_distributed_loop_matches_local(spark):
+    """local_threshold=0 forces the distributed doubling loop; it must
+    produce the same labels/sizes as the size-gated driver union-find."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.rep_doc_id, r.component_size)
+        for r in dedup.dup_components(edges, local_threshold=0).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
+
+
 def test_ivf_topk_matches_exact_on_clustered_data(spark):
     """IVF-Flat with well-separated clusters: probing the nearest lists
     returns the same top-k as exact brute-force cosine (recall = 1 when
