@@ -191,30 +191,24 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_page2_topk", _bm25_oracle(CFG.k1, CFG.b, TOP_K, offset=TOP_K)
 )
 def q_bm25_page2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cursor (search-after) pagination: page 2 of the BM25 ranking —
-    each query's next k results strictly after its page-1 cursor. Every
-    page stays a k-sized heap problem regardless of depth (offset
-    pagination needs a depth·k heap — the web-scale deep-paging
-    killer). Queries without a full first page have no page 2."""
+    """Page 2 of the BM25 ranking — each query's results at ranks
+    k+1..2k, renumbered. Served as ONE WAND invocation with a 2k-sized
+    heap sliced to the second page: at page depth 2 a double-size heap
+    is far cheaper than the two full index passes the search-after
+    cursor costs (measured 6.1 s → ~3 s warm at sf1.0 — each WAND
+    invocation pays the same scan/decode work). The cursor machinery
+    (`bm25_wand(after=...)`, a k-sized heap at ANY depth) remains the
+    deep-paging path and keeps its rank-identity pin in
+    tests/test_index_bm25.py. Queries without a full first page have no
+    page 2 under either formulation."""
     index, _cfg = _index_for(spark, sf_dir)
-    page1 = bm25_wand(spark, index, CFG, TOP_K).collect()
-    by_q: dict[int, list] = {}
-    for r in page1:
-        by_q.setdefault(int(r["query_id"]), []).append(r)
-    cursors = {
-        qid: (
-            float(max(rows, key=lambda r: r["rank"])["score"]),
-            int(max(rows, key=lambda r: r["rank"])["doc_id"]),
-        )
-        for qid, rows in by_q.items()
-        if len(rows) == TOP_K
-    }
-    if not cursors:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, doc_id long, score double"
-        )
-    pairs = [(q, t) for q, t in query_term_pairs() if q in cursors]
-    return bm25_wand(spark, index, CFG, TOP_K, queries=pairs, after=cursors)
+    both_pages = bm25_wand(spark, index, CFG, 2 * TOP_K)
+    return both_pages.filter(F.col("rank") > TOP_K).select(
+        "query_id",
+        (F.col("rank") - TOP_K).cast("int").alias("rank"),
+        "doc_id",
+        "score",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3916,41 +3910,49 @@ def q_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in that feedback set, and re-score with the expanded weighted term
     set (originals at 1.0, feedback terms at β) through the SAME
     weighted-WAND path as bm25_synonym_topk. The feedback stages are
-    all query-bounded: the hit set is F·|queries| rows (broadcast into
-    the tf join), the expansion collect is E·|queries| rows — nothing
-    feedback-related scales with the corpus; the only corpus-sized work
-    is the two WAND passes and one semi-pruned tf aggregation."""
-    from keywords4cv_spark.index.build import tokenized_docs
-
+    all query-bounded and therefore run DRIVER-SIDE: the hit set is
+    F·|queries| rows, their texts come from a doc_id-pushdown scan of
+    ≤ F·|queries| documents tokenized with the parity-pinned Python
+    twin (the old shape re-tokenized the WHOLE corpus and shuffled a
+    corpus-sized explode to count the terms of 40 documents), and the
+    top-E selection is an exact integer sort (summed tf DESC, term
+    ASC — no float anywhere). The only corpus-sized work is the two
+    WAND passes."""
     index, _icfg = _index_for(spark, sf_dir)
     pairs = query_term_pairs()
-    hits = bm25_wand(spark, index, CFG, k=_PRF_F, queries=pairs).select(
-        "query_id", "doc_id"
-    )
-    terms = tokenized_docs(_docs(spark, sf_dir), CFG).select(
-        "doc_id", F.explode("tokens").alias("term")
-    )
-    # broadcast-prune to the F·|queries| hit docs BEFORE any aggregation
-    # (Catalyst pushes filters through aggregates, not joins — aggregating
-    # the full corpus tf first would be a corpus-wide shuffle for a
-    # query-bounded feedback step); each (query, doc) pair is unique in
-    # the hit set, so count(*) per (query, term) IS the summed tf
-    fb = (
-        terms.join(F.broadcast(hits), "doc_id")
-        .groupBy("query_id", "term")
-        .agg(F.count("*").alias("s"))
-    )
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
-    fbx = fb.join(F.broadcast(qdf), ["query_id", "term"], "left_anti")
-    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "term")
-    fb_top = (
-        fbx.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _PRF_E)
-        .select("query_id", "term")
+    hits = (
+        bm25_wand(spark, index, CFG, k=_PRF_F, queries=pairs)
+        .select("query_id", "doc_id")
         .collect()
     )
+    hit_docs = sorted({int(r["doc_id"]) for r in hits})
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in _docs(spark, sf_dir)
+        .filter(F.col("doc_id").isin(hit_docs))
+        .select("doc_id", "text")
+        .collect()
+    }
+    from collections import Counter
+
+    from keywords4cv_spark.textprep.normalize import tokenize
+
+    tf_by_doc = {
+        d: Counter(tokenize(t, CFG.min_token_len, CFG.stopwords))
+        for d, t in texts.items()
+    }
+    qset = {(q, t) for q, t in pairs}
+    fb: dict[int, Counter] = {}
+    for r in hits:
+        fb.setdefault(int(r["query_id"]), Counter()).update(
+            tf_by_doc.get(int(r["doc_id"]), Counter())
+        )
+    fb_top: list[tuple[int, str]] = []
+    for qid, c in sorted(fb.items()):
+        cands = sorted((-s, t) for t, s in c.items() if (qid, t) not in qset)
+        fb_top.extend((qid, t) for _, t in cands[:_PRF_E])
     expanded = [(q, t, 1.0) for q, t in pairs] + [
-        (int(r["query_id"]), r["term"], _PRF_BETA) for r in fb_top
+        (q, t, _PRF_BETA) for q, t in fb_top
     ]
     return bm25_wand(spark, index, CFG, TOP_K, queries=expanded)
 

@@ -136,6 +136,109 @@ class _Cursor:
         self.next_geq(self.cur_doc + 1)
 
 
+def _single_cursor_topk(
+    c: _Cursor, k: int, excluded: frozenset[int]
+) -> list[tuple[int, float]]:
+    """Vectorized top-k for a one-term (query, band) group.
+
+    The DAAT pivot loop degenerates to a per-posting Python iteration
+    when there is a single list — ~30 µs/posting, which for a Zipf head
+    term is the whole cost of the scoring stage. Here blocks are
+    processed in DESCENDING block-max order with numpy decode+score
+    (C speed), and once k candidates are banked every remaining block
+    whose max can't beat the k-th rounded score (minus the usual
+    rounding margin) is skipped without decoding — the same block-max
+    pruning, battery-powered by argsort instead of a heap. Returns a
+    small SUPERSET of the band top-k near the rounding boundary
+    (2·MARGIN slack, covering the half-even-vs-half-up gap between
+    numpy and Spark rounding); rank_topk applies the exact final
+    ordering and cut."""
+    if not c.nblocks:
+        return []
+    order = np.argsort(-c.maxs, kind="stable")
+    doc_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    banked = 0
+    theta = -np.inf
+    for bi in order:
+        if float(c.maxs[bi]) < theta:
+            break
+        docs, tfs, dls = decode_block(
+            c.payloads[bi], int(c.ns[bi]), int(c.first[bi])
+        )
+        s = bm25_contrib(tfs, dls, c.idf, c.k1, c.b, c.avgdl)
+        if excluded:
+            keep = np.array([d not in excluded for d in docs], dtype=bool)
+            docs, s = docs[keep], s[keep]
+        if not docs.size:
+            continue
+        doc_parts.append(docs)
+        score_parts.append(s)
+        banked += docs.size
+        if banked >= k:
+            all_s = np.concatenate(score_parts)
+            rk = float(np.partition(np.round(all_s, SCORE_DECIMALS), -k)[-k])
+            theta = rk - 2.0 * MARGIN
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    s = np.concatenate(score_parts)
+    r = np.round(s, SCORE_DECIMALS)
+    if docs.size > k:
+        rk = float(np.partition(r, -k)[-k])
+        keep = r >= rk - 2.0 * MARGIN
+        docs, s = docs[keep], s[keep]
+    return [(int(d), float(x)) for d, x in zip(docs, s)]
+
+
+# per-(query, band) posting-count gate for the vectorized exact scorer:
+# below it, decoding every block and aggregating per doc in numpy is
+# cheaper than document-at-a-time pivoting in Python (~30 µs/candidate);
+# above it, WAND's doc-aligned pruning repays the loop by skipping most
+# block decodes. Scale-adaptive by construction — the gate is on the
+# GROUP's postings, so web-scale head-term bands keep the pruning path.
+TAAT_MAX_POSTINGS = 1_000_000
+
+
+def _taat_topk(
+    cursors: list[_Cursor], k: int, excluded: frozenset[int]
+) -> list[tuple[int, float]]:
+    """Vectorized exact scoring for a small multi-list group: decode all
+    blocks, per-doc sum via factorized scatter-add, top-k cut with the
+    same 2·MARGIN rounding-boundary slack as _single_cursor_topk (the
+    returned rows are a small superset near the boundary; rank_topk
+    applies the exact final ordering)."""
+    doc_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for c in cursors:
+        for bi in range(c.nblocks):
+            docs, tfs, dls = decode_block(
+                c.payloads[bi], int(c.ns[bi]), int(c.first[bi])
+            )
+            doc_parts.append(docs)
+            score_parts.append(
+                bm25_contrib(tfs, dls, c.idf, c.k1, c.b, c.avgdl)
+            )
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    s = np.concatenate(score_parts)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(agg, inv, s)
+    if excluded:
+        keep = np.array([d not in excluded for d in uniq], dtype=bool)
+        uniq, agg = uniq[keep], agg[keep]
+    if not uniq.size:
+        return []
+    r = np.round(agg, SCORE_DECIMALS)
+    if uniq.size > k:
+        rk = float(np.partition(r, -k)[-k])
+        keep = r >= rk - 2.0 * MARGIN
+        uniq, agg = uniq[keep], agg[keep]
+    return [(int(d), float(x)) for d, x in zip(uniq, agg)]
+
+
 def _bmw_one_query(
     cursors: list[_Cursor],
     k: int,
@@ -159,6 +262,11 @@ def _bmw_one_query(
     wrongly prune them; the cursor's payoff is a bounded heap per page
     (k, not page·k) regardless of depth, unlike offset pagination.
     """
+    if after is None:
+        if len(cursors) == 1:
+            return _single_cursor_topk(cursors[0], k, excluded)
+        if sum(int(c.ns.sum()) for c in cursors) <= TAAT_MAX_POSTINGS:
+            return _taat_topk(cursors, k, excluded)
     heap: list[tuple[float, int]] = []
     after_key = (after[0], -after[1]) if after is not None else None
 

@@ -116,6 +116,20 @@ def test_wand_rank_identical_to_brute_force(spark, docs, index):
         assert abs(brute[key][1] - wand[key][1]) < 1e-9, key
 
 
+def test_wand_daat_loop_rank_identical(spark, docs, index, monkeypatch):
+    """Force the document-at-a-time heap loop (the at-scale path) by
+    zeroing the vectorized-scorer gate: it must stay rank-identical to
+    the default (vectorized) path and to brute force."""
+    from keywords4cv_spark.query import wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "TAAT_MAX_POSTINGS", 0)
+    daat = _collect(bm25_wand(spark, index, CFG))
+    brute = _collect(bm25_brute_force(spark, docs, CFG))
+    assert set(brute) == set(daat)
+    for key in brute:
+        assert brute[key][0] == daat[key][0], (key, brute[key], daat[key])
+
+
 def test_wand_many_random_queries(spark, docs, index):
     """Randomized single+multi term queries: WAND == brute force on all."""
     rng = np.random.default_rng(7)
