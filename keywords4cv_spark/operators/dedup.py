@@ -462,20 +462,36 @@ def dup_components(
         .localCheckpoint(eager=False)
     )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
+    prev_sum, n_nodes = labels.agg(label_sum, F.count("*")).collect()[0]
+    # label relations are NODE-bounded (one row per doc in any edge) —
+    # orders of magnitude smaller than the edge relation on clique-heavy
+    # duplicate graphs. Below ~5M nodes (~80 MB built) broadcast them
+    # into the per-round joins so the persisted edge relation is never
+    # shuffled: the neighbor-min join goes map-side and the groupBy
+    # ships only node-bounded partials. A checkpoint scan has no size
+    # statistics, so without the hint the planner sort-merges the full
+    # edge relation every round. Above the gate the shuffled join is the
+    # correct (and unchanged) plan.
+    bcast_labels = (
+        F.broadcast if int(n_nodes) <= 5_000_000 else (lambda df: df)
+    )
     converged = False
     for _ in range(max_iterations):
         # closed-neighborhood min in ONE aggregation: neighbor labels
         # unioned with each node's own label row, then min per node —
         # one exchange fewer per round than the join+groupBy+left-join
         # shape this replaces (the self row also keeps isolated nodes)
-        neigh = sym.join(labels, sym.dst == labels.doc_id).select(
+        neigh = sym.join(bcast_labels(labels), sym.dst == labels.doc_id).select(
             F.col("src").alias("doc_id"), "label"
         )
+        # lazy checkpoint: the pointer-jump join consumes `half` twice
+        # (probe stream + broadcast build); without it the edge-sized
+        # neighbor-min subtree would execute twice per round
         half = (
             neigh.unionByName(labels)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
         # pointer jump: follow the label's own label (labels are always
         # existing node ids, so the self-join is total for non-roots)
@@ -483,7 +499,7 @@ def dup_components(
             F.col("doc_id").alias("l_doc"), F.col("label").alias("l_lab")
         )
         updated = (
-            half.join(lab_of, half.label == lab_of.l_doc, "left")
+            half.join(bcast_labels(lab_of), half.label == lab_of.l_doc, "left")
             .select(
                 "doc_id",
                 F.least(
@@ -506,7 +522,7 @@ def dup_components(
         )
     sym.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
-    return labels.join(sizes, "label").select(
+    return labels.join(bcast_labels(sizes), "label").select(
         "doc_id",
         F.col("label").alias("rep_doc_id"),
         F.col("component_size").cast("long").alias("component_size"),
