@@ -1655,7 +1655,13 @@ SELECT n_extracted, n_skills, n_hit,
 FROM c""",
 )
 def q_extraction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return evaluation.extraction_metrics(spark, _docs(spark, sf_dir), CFG)
+    # vocabulary from the committed index's dictionary (== the distinct
+    # corpus tokens — same tokenizer, same lang filter), skipping the
+    # tokenize + corpus-wide distinct pass
+    index, _icfg = _index_for(spark, sf_dir)
+    return evaluation.extraction_metrics(
+        spark, _docs(spark, sf_dir), CFG, terms=index.dictionary.select("term")
+    )
 
 
 @register(
@@ -2313,23 +2319,48 @@ FROM p JOIN big b ON b.bigram = p.phrase
 GROUP BY p.phrase, b.doc_id""",
 )
 def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-term phrase retrieval via adjacent-position match (the
-    positional-postings special case expressible with a lead window)."""
-    from keywords4cv_spark.index.build import tokenized_docs
+    """Exact 2-term phrase retrieval via adjacent-position match. The
+    per-(phrase, doc) occurrence count is doc-local arithmetic over a
+    driver-constant phrase set, so the whole query is ONE fused
+    tokenize pass emitting the final rows — zero exchanges (the old
+    shape paid a corpus-wide window shuffle + a groupBy for it)."""
+    phrases = set(_PHRASES)
+    docs = _docs(spark, sf_dir)
+    if CFG.lang_filter and "lang" in docs.columns:
+        docs = docs.filter(F.col("lang") == CFG.lang_filter)
+    min_len, stop = CFG.min_token_len, CFG.stopwords
 
-    toks = tokenized_docs(_docs(spark, sf_dir), CFG)
-    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        pos.withColumn("nxt", F.lead("term").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "term", "nxt").alias("bigram"))
-    )
-    pdf = spark.createDataFrame([(p,) for p in _PHRASES], "phrase string")
-    return (
-        big.join(F.broadcast(pdf), big.bigram == pdf.phrase)
-        .groupBy("phrase", "doc_id")
-        .agg(F.count("*").alias("n_occurrences"))
+    def batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        from keywords4cv_spark.textprep.normalize import tokenize
+
+        for pdf in it:
+            out_p, out_d, out_n = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                tk = tokenize(text, min_len, stop)
+                c = Counter(
+                    g
+                    for g in (" ".join(p) for p in zip(tk, tk[1:]))
+                    if g in phrases
+                )
+                for ph, n in c.items():
+                    out_p.append(ph)
+                    out_d.append(did)
+                    out_n.append(n)
+            if out_p:
+                yield pd.DataFrame(
+                    {
+                        "phrase": out_p,
+                        "doc_id": pd.array(out_d, dtype="int64"),
+                        "n_occurrences": pd.array(out_n, dtype="int64"),
+                    }
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "phrase string, doc_id long, n_occurrences long"
     )
 
 

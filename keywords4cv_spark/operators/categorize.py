@@ -49,13 +49,45 @@ def sanitize_docs(docs: DataFrame, policy: str = "strict") -> DataFrame:
 def categorize_terms(
     spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """(term, category, df): direct whitelist match else 'Uncategorized'."""
+    """(term, category, df): direct whitelist match else 'Uncategorized'.
+
+    df = count of docs containing the term; each doc's contribution is
+    its DISTINCT term set, which is doc-local — so the whole relation
+    is one fused tokenize + per-batch partial-count pass (the only
+    exchange carries vocabulary partials, not the exploded corpus
+    token stream the old countDistinct shuffle paid for)."""
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
     skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
+    if cfg.lang_filter and "lang" in docs.columns:
+        docs = docs.filter(F.col("lang") == cfg.lang_filter)
+    min_len, stop = cfg.min_token_len, cfg.stopwords
+
+    def batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        from keywords4cv_spark.textprep.normalize import tokenize
+
+        for pdf in it:
+            c: Counter = Counter()
+            for text in pdf["text"]:
+                c.update(set(tokenize(text, min_len, stop)))
+            if c:
+                yield pd.DataFrame(
+                    {
+                        "term": list(c.keys()),
+                        "pn": pd.array(list(c.values()), dtype="int64"),
+                    }
+                )
+
     terms = (
-        tokenized_docs(docs, cfg)
-        .select("doc_id", F.explode("tokens").alias("term"))
+        docs.select("text")
+        .mapInPandas(batches, "term string, pn long")
         .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.sum("pn").alias("df"))
     )
     return terms.join(
         F.broadcast(skills.withColumnRenamed("skill", "term")), "term", "left"

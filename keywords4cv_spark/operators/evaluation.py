@@ -19,7 +19,10 @@ from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
 
 
 def extraction_metrics(
-    spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """One-row (n_extracted, n_skills, n_hit, precision, recall, f1).
 
@@ -27,6 +30,9 @@ def extraction_metrics(
     distinct count needs no Spark job), so a single broadcast left join
     + agg yields every count, and the derived metrics are columns of
     that one row — no collect/driver arithmetic, no repeated scans.
+    Pass ``terms`` (a (term) DataFrame — e.g. the committed index's
+    dictionary, whose term set IS the distinct corpus vocabulary) to
+    skip the tokenize + corpus-wide distinct.
     """
     skill_set = sorted({s for _, s in vocab.SKILLS})
     n_skills = len(skill_set)
@@ -34,7 +40,9 @@ def extraction_metrics(
         [(s, 1) for s in skill_set], "term string, is_skill int"
     )
     extracted = (
-        tokenized_docs(docs, cfg)
+        terms
+        if terms is not None
+        else tokenized_docs(docs, cfg)
         .select(F.explode("tokens").alias("term"))
         .distinct()
     )
@@ -82,54 +90,51 @@ def mean_average_precision(
     whitelist-hit subset — bounded by the whitelist cardinality (a
     driver-side constant list), not the vocabulary.
     """
-    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
-    skill_terms = skills.select(F.col("skill").alias("term")).distinct()
+    from keywords4cv_spark.index.build import term_frequencies_fused
+    from keywords4cv_spark.query.indexed import _round6
+
+    wl = sorted({s for _, s in vocab.SKILLS})
+    # fused tokenize+tf (no corpus shuffle), vocabulary-sized checkpoint:
+    # the two actions below share one materialization
     dict_df = (
-        term_frequencies(tokenized_docs(docs, cfg))
+        term_frequencies_fused(docs, cfg)
         .groupBy("term")
         .agg(F.sum("tf").alias("cf"))
+        .localCheckpoint(eager=False)
     )
-    n_parts = spark.sparkContext.defaultParallelism
-    # eager localCheckpoint, not persist: the materialized blocks pin the
-    # (pid → count) mapping collected below against recomputation (range
-    # boundaries are sampled), and are GC-released when this frame goes
-    # out of scope — a persist here would sit in the cache manager for
-    # the driver session's lifetime (ADVICE r3).
-    parted = (
-        dict_df.repartitionByRange(n_parts, F.col("cf").desc(), F.col("term"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+    # the answer needs the global rank of WHITELIST terms only — and a
+    # hit's rank is just the count of vocabulary terms ordered at or
+    # before it under (cf DESC, term ASC). So: collect the (driver-
+    # constant-bounded) hit terms' cf, then compute every hit position
+    # as one conditional count each in a SINGLE aggregation pass over
+    # the vocabulary relation — map-side partials, no global window, no
+    # range-partition/offset machinery, nothing funnelled anywhere.
+    # hits-so-far needs no second pass either: among hits, the order by
+    # global position IS the order by (cf DESC, term), so the i-th hit
+    # in that order has exactly i hits at or before it.
+    hit_rows = sorted(
+        (
+            (-int(r["cf"]), r["term"])
+            for r in dict_df.filter(F.col("term").isin(wl)).collect()
+        )
     )
-    counts = {
-        int(r["pid"]): int(r["cnt"])
-        for r in parted.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, "pid int, pos_offset long")
-    w_local = Window.partitionBy("pid").orderBy(F.col("cf").desc(), F.col("term"))
-    positioned = (
-        parted.join(F.broadcast(off_df), "pid")
-        .withColumn("pos", F.row_number().over(w_local) + F.col("pos_offset"))
-        .drop("pid", "pos_offset")
+    if not hit_rows:
+        return spark.createDataFrame(
+            [(None, 0)], "average_precision double, n_hits long"
+        )
+    pos_aggs = []
+    for i, (neg_cf, t) in enumerate(hit_rows):
+        cf_h = -neg_cf
+        before = (F.col("cf") > F.lit(cf_h)) | (
+            (F.col("cf") == F.lit(cf_h)) & (F.col("term") <= F.lit(t))
+        )
+        pos_aggs.append(
+            F.sum(F.when(before, 1).otherwise(0)).alias(f"p{i}")
+        )
+    prow = dict_df.agg(*pos_aggs).collect()[0]
+    ap = sum((i + 1) / int(prow[f"p{i}"]) for i in range(len(hit_rows))) / len(
+        hit_rows
     )
-    # whitelist-sized relation from here on: hits_so_far at a hit row is
-    # its rank among hit rows in the same global order. Computed as a
-    # broadcast self-join count (O(|whitelist|²) pairs, trivially small)
-    # instead of Window.orderBy(pos) so NO node in this plan — not even a
-    # bounded one — funnels through Exchange SinglePartition.
-    hit_pos = positioned.join(F.broadcast(skill_terms), "term", "left_semi").select(
-        "pos"
-    )
-    earlier = hit_pos.select(F.col("pos").alias("pos_b"))
-    per_hit = (
-        hit_pos.join(F.broadcast(earlier), F.col("pos_b") <= F.col("pos"))
-        .groupBy("pos")
-        .agg(F.count("*").alias("hits"))
-    )
-    return per_hit.agg(
-        F.round(F.avg(F.col("hits") / F.col("pos")), 6).alias("average_precision"),
-        F.count("*").alias("n_hits"),
+    return spark.createDataFrame(
+        [(_round6(ap), len(hit_rows))], "average_precision double, n_hits long"
     )

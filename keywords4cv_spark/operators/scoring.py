@@ -364,15 +364,44 @@ def fuzzy_match_scores(
 def expand_abbreviations(
     spark: SparkSession, docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """P11/P12: per-term counts after abbreviation expansion."""
-    abbrev = spark.createDataFrame(
-        vocab.ABBREVIATIONS, "abbrev string, expansion string"
+    """P11/P12: per-term counts after abbreviation expansion.
+
+    The abbreviation map is a tiny driver constant, so it is applied
+    INSIDE one fused tokenize + partial-count pass (the
+    synonym_expanded_counts shape): the only exchange carries per-batch
+    vocabulary partials instead of the corpus token stream."""
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    amap = dict(vocab.ABBREVIATIONS)
+    if cfg.lang_filter and "lang" in docs.columns:
+        docs = docs.filter(F.col("lang") == cfg.lang_filter)
+    min_len, stop = cfg.min_token_len, cfg.stopwords
+
+    def batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        from keywords4cv_spark.textprep.normalize import tokenize
+
+        for pdf in it:
+            c: Counter = Counter()
+            for text in pdf["text"]:
+                c.update(
+                    amap.get(t, t) for t in tokenize(text, min_len, stop)
+                )
+            if c:
+                yield pd.DataFrame(
+                    {
+                        "term": list(c.keys()),
+                        "pn": pd.array(list(c.values()), dtype="int64"),
+                    }
+                )
+
+    return (
+        docs.select("text")
+        .mapInPandas(batches, "term string, pn long")
+        .groupBy("term")
+        .agg(F.sum("pn").alias("n"))
     )
-    toks = tokenized_docs(docs, cfg)
-    terms = toks.select("doc_id", F.explode("tokens").alias("term"))
-    expanded = terms.join(
-        F.broadcast(abbrev), terms.term == abbrev.abbrev, "left"
-    ).select(
-        "doc_id", F.coalesce("expansion", "term").alias("term")
-    )
-    return expanded.groupBy("term").agg(F.count("*").alias("n"))

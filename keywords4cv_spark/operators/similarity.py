@@ -369,24 +369,50 @@ def lsh_near_dup_pairs(
         # one driver-side count picks the bucket arithmetic (at service
         # scale this is a table statistic, not a job)
         n_planes = n_planes_for(emb.count())
-    e = emb.select("vec_id", "embedding").persist()
-    cand = None
-    for t in range(n_tables):
-        b = lsh_buckets(e, n_planes, plane_offset=t * PLANE_STRIDE)
-        a = b.select(F.col("vec_id").alias("vec_a"), "bucket")
-        c = b.select(F.col("vec_id").alias("vec_b"), "bucket")
-        pairs = (
-            a.join(c, "bucket")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    e = emb.select("vec_id", "embedding")
+    # ALL tables' buckets in ONE Arrow pass over the embeddings (the
+    # per-table loop ran the projection kernel once per join SIDE per
+    # table — 2·n_tables embedding passes for identical arithmetic),
+    # checkpointed so the self-join's two sides share the single
+    # materialization; candidates come from one (table, bucket)
+    # equi-join instead of n_tables joins + union
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array([np.asarray(x, dtype=np.float64) for x in col])
+        dim = m.shape[1]
+        per_table = []
+        for t in range(n_tables):
+            out = np.zeros(len(m), dtype=np.int64)
+            for j in range(n_planes):
+                srow = [
+                    float(plane_sign(t * PLANE_STRIDE + j, i))
+                    for i in range(dim)
+                ]
+                acc = np.zeros(len(m))
+                for i in range(dim):
+                    # dimension-sequential: the exact IEEE order of the
+                    # single-table kernel and the DuckDB oracle
+                    acc = acc + m[:, i] * srow[i]
+                out |= (acc > 0).astype(np.int64) << j
+            per_table.append(out)
+        return pd.Series([list(row) for row in zip(*per_table)])
+
+    b = e.select(
+        "vec_id", F.posexplode(buckets_of(F.col("embedding")))
+    ).toDF("vec_id", "table", "bucket").localCheckpoint(eager=False)
+    a = b.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
     # materialize the candidate set eagerly (lineage truncated, blocks
-    # GC-managed) so the bucketing persist can be released here rather
-    # than leaking cached partitions for the driver session's lifetime
-    # (ADVICE r3); the verify join below re-reads the source once.
+    # GC-managed; the verify join below re-reads the source once)
     cand = cand.distinct().localCheckpoint()
-    e.unpersist()
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = make_cosine_pairs_udf()

@@ -138,20 +138,53 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         chunks = list(pdfs)
         batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         if len(batch):
+            import numpy as np
+
             batch = batch.sort_values(["ts", "event_id"])
-            for ts, val in zip(batch["ts"], batch["value"]):
-                t_us = int(pd.Timestamp(ts).value // 1_000)
-                if n > 0 and t_us < last_us:
-                    n_late += 1  # late vs. prior batches: drop, never rewind
-                    continue
-                gap_s = t_us // 1_000_000 - last_us // 1_000_000
-                if n == 0 or gap_s > gap_seconds:
-                    if n > 0:
-                        closed.append((sid, n, start_us, last_us, value))
-                    sid, n, start_us, value = sid + 1, 0, t_us, 0.0
-                n += 1
-                last_us = t_us
-                value += float(val)
+            # vectorized twin of the per-event loop (the loop paid a
+            # pd.Timestamp construction + branches PER EVENT): session
+            # boundaries from the whole-second gap array, per-session
+            # slices from the boundary indices. Per-session values are
+            # still summed left-to-right over the slice (Python sum) —
+            # bit-identical to the sequential accumulation.
+            t_us = batch["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            vals = batch["value"].to_numpy(np.float64)
+            if n > 0:
+                # sorted batch ⇒ only a prefix can be late vs. the open
+                # session's last event (last_us only ever advances)
+                late = t_us < last_us
+                n_late += int(late.sum())
+                t_us, vals = t_us[~late], vals[~late]
+            if t_us.size:
+                sec = t_us // 1_000_000
+                prev = np.empty_like(sec)
+                prev[0] = last_us // 1_000_000
+                prev[1:] = sec[:-1]
+                new_sess = sec - prev > gap_seconds
+                if n == 0:
+                    new_sess[0] = True
+                starts = np.flatnonzero(new_sess)
+                bounds = np.concatenate(
+                    [[0], starts, [t_us.size]]
+                ) if (starts.size == 0 or starts[0] != 0) else np.concatenate(
+                    [starts, [t_us.size]]
+                )
+                # bounds delimits segments [bounds[i], bounds[i+1]); the
+                # first segment extends the open session when it starts
+                # at index 0 without a new-session mark
+                for i in range(len(bounds) - 1):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    if lo == hi:
+                        continue
+                    fresh = bool(new_sess[lo])
+                    if fresh:
+                        if n > 0:
+                            closed.append((sid, n, start_us, last_us, value))
+                        sid, n, start_us, value = sid + 1, 0, int(t_us[lo]), 0.0
+                    n += hi - lo
+                    last_us = int(t_us[hi - 1])
+                    for v in vals[lo:hi]:
+                        value += float(v)
         state.update((sid, n, start_us, last_us, value, n_late))
         if not closed:
             return iter([])
