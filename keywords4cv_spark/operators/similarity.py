@@ -113,19 +113,81 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbours of each probe vector (brute force).
 
-    Probes are a broadcast side; ranking uses round(cos, 6) DESC with
-    vec_id tie-break (the engine-wide determinism rule).
+    One numpy mapInPandas pass: each Arrow batch scores every vector
+    against the (driver-small, closure-shipped) probe matrix with
+    DIMENSION-sequential accumulation — the exact IEEE order of the
+    interpreted HOF expression this replaces (which evaluated per
+    element, ~100× slower — see make_cosine_pairs_udf) — and emits only
+    its local top-k candidates per probe, padded by the engine's
+    rounding margin so boundary ties survive. The final window then
+    applies the exact engine-wide ordering (round(cos, 6) DESC, vec_id)
+    over the batch-count-bounded partials instead of the full corpus
+    score stream.
     """
-    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    from keywords4cv_spark.deploy import ensure_py_files
+
+    ensure_py_files(spark)
+    out_schema = "probe_id long, rank int, vec_id long, cosine double"
+    prows = (
+        emb.filter(F.col("vec_id").isin(probe_ids))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    pairs = emb.crossJoin(F.broadcast(probes)).filter(
-        F.col("vec_id") != F.col("probe_id")
+    if not prows:
+        return spark.createDataFrame([], out_schema)
+    pids = np.array([int(r["vec_id"]) for r in prows], dtype=np.int64)
+    P = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in prows]
     )
-    scored = pairs.select(
-        "probe_id",
-        "vec_id",
-        F.round(cosine_col(F.col("embedding"), F.col("probe_emb")), 6).alias("cosine"),
+    dim = P.shape[1]
+    pn = np.zeros(len(P))
+    for i in range(dim):
+        pn = pn + P[:, i] * P[:, i]
+    pnorm = np.sqrt(pn)
+    margin = 2.0 * (1e-6 + 1e-9)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            dots = np.zeros((len(M), len(P)))
+            macc = np.zeros(len(M))
+            for i in range(dim):
+                col = M[:, i]
+                dots = dots + col[:, None] * P[None, :, i]
+                macc = macc + col * col
+            cos = dots / (np.sqrt(macc)[:, None] * pnorm[None, :])
+            out_p, out_v, out_c = [], [], []
+            for j in range(len(P)):
+                mask = vids != pids[j]
+                v, c = vids[mask], cos[mask, j]
+                if not v.size:
+                    continue
+                r = np.round(c, 6)
+                if v.size > k:
+                    kth = float(np.partition(r, -k)[-k])
+                    keep = r >= kth - margin
+                    v, c = v[keep], c[keep]
+                out_p.extend([int(pids[j])] * v.size)
+                out_v.extend(v.tolist())
+                out_c.extend(c.tolist())
+            if out_p:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": pd.array(out_p, dtype="int64"),
+                        "vec_id": pd.array(out_v, dtype="int64"),
+                        "cosine": pd.array(out_c, dtype="float64"),
+                    }
+                )
+
+    scored = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(batches, "probe_id long, vec_id long, cosine double")
+        .withColumn("cosine", F.round(F.col("cosine"), 6))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
