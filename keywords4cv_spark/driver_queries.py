@@ -2184,7 +2184,11 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidate→verify LSH dedup + connected components + min-label
     keep-one rule). One tokenize pass feeds both branches: the
     persisted (doc_id, tokens) relation is passed explicitly to the
-    quality scorer and the dedup DAG (plan-asserted in test_plans)."""
+    quality scorer and the dedup DAG (plan-asserted in test_plans),
+    and every branch is materialized EAGERLY so the shared tokenize
+    cache is released before returning — long sessions running many
+    curation calls would otherwise accumulate leaked corpus-sized
+    cache blocks (measured as cross-query slowdown in the full bench)."""
     from keywords4cv_spark.index.build import tokenized_docs
 
     docs = _docs(spark, sf_dir)
@@ -2193,10 +2197,16 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.quality_scores(docs, CFG, toks=toks)
         .filter(F.col("quality") >= _CURATION_QUALITY_MIN)
         .select("doc_id", "quality")
+        .localCheckpoint()
     )
     edges = dedup.jaccard_verified_pairs(docs, CFG, toks=toks)
     comp = dedup.dup_components(edges)
-    non_reps = comp.filter(F.col("doc_id") != F.col("rep_doc_id")).select("doc_id")
+    non_reps = (
+        comp.filter(F.col("doc_id") != F.col("rep_doc_id"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    toks.unpersist()
     return qual.join(non_reps, "doc_id", "left_anti")
 
 
@@ -2213,7 +2223,9 @@ def q_curated_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate ∩ near-dup representatives ∖ benchmark-contaminated
     docs — the full curation pipeline a training run would ship. The
     contamination branch shares the SAME persisted tokenize pass as the
-    quality and dedup branches (one corpus scan feeds all three)."""
+    quality and dedup branches (one corpus scan feeds all three), and
+    all branches materialize eagerly so the cache is released before
+    returning (see q_curated_corpus)."""
     from keywords4cv_spark.index.build import tokenized_docs
 
     docs = _docs(spark, sf_dir)
@@ -2222,11 +2234,21 @@ def q_curated_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.quality_scores(docs, CFG, toks=toks)
         .filter(F.col("quality") >= _CURATION_QUALITY_MIN)
         .select("doc_id", "quality")
+        .localCheckpoint()
     )
     edges = dedup.jaccard_verified_pairs(docs, CFG, toks=toks)
     comp = dedup.dup_components(edges)
-    non_reps = comp.filter(F.col("doc_id") != F.col("rep_doc_id")).select("doc_id")
-    contam = dedup.contaminated_docs(docs, CFG, toks=toks).select("doc_id")
+    non_reps = (
+        comp.filter(F.col("doc_id") != F.col("rep_doc_id"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    contam = (
+        dedup.contaminated_docs(docs, CFG, toks=toks)
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    toks.unpersist()
     return (
         qual.join(non_reps, "doc_id", "left_anti")
         .join(contam, "doc_id", "left_anti")

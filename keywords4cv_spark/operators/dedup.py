@@ -145,7 +145,11 @@ def jaccard_verified_pairs(
     if toks is None:
         toks = tokenized_docs(docs, cfg).select("doc_id", "tokens").persist()
     bm = _band_minima_from_tokens(toks).persist()
-    cand = _pairs_from_band_minima(bm).persist()
+    # eager candidate materialization (lineage truncated) lets the
+    # band-minima cache release HERE instead of leaking for the
+    # session's lifetime — bm has no consumer beyond the self-join
+    cand = _pairs_from_band_minima(bm).localCheckpoint()
+    bm.unpersist()
     # verify-side pruning: only docs that appear in a candidate pair ship
     # their token set into the verify join — at web scale the candidate
     # set is orders of magnitude smaller than the corpus, and shuffling

@@ -100,7 +100,7 @@ def mean_average_precision(
         term_frequencies_fused(docs, cfg)
         .groupBy("term")
         .agg(F.sum("tf").alias("cf"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # the answer needs the global rank of WHITELIST terms only — and a
     # hit's rank is just the count of vocabulary terms ordered at or
@@ -119,6 +119,7 @@ def mean_average_precision(
         )
     )
     if not hit_rows:
+        dict_df.unpersist()
         return spark.createDataFrame(
             [(None, 0)], "average_precision double, n_hits long"
         )
@@ -132,6 +133,7 @@ def mean_average_precision(
             F.sum(F.when(before, 1).otherwise(0)).alias(f"p{i}")
         )
     prow = dict_df.agg(*pos_aggs).collect()[0]
+    dict_df.unpersist()  # both actions done — release before returning
     ap = sum((i + 1) / int(prow[f"p{i}"]) for i in range(len(hit_rows))) / len(
         hit_rows
     )

