@@ -159,7 +159,18 @@ def jaccard_verified_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sets = toks.join(cand_docs, "doc_id", "left_semi").select(
+    # the set relations derive from checkpoint scans with no size
+    # statistics, so without a hint the planner sort-merges the FULL
+    # candidate-pair relation through BOTH verify joins (measured at
+    # sf1.0: 1.6M pairs shuffled twice). The candidate-doc count is
+    # cheap over the eagerly checkpointed pairs; below a ~50k-doc gate
+    # (≈100 MB of token sets built) the sets broadcast and the pair
+    # relation never shuffles. Above the gate sort-merge is the right
+    # plan and runs unchanged.
+    n_cd = cand_docs.count()
+    bcast_sets = F.broadcast if n_cd <= 50_000 else (lambda df: df)
+    cdocs = F.broadcast(cand_docs) if n_cd <= 5_000_000 else cand_docs
+    sets = toks.join(cdocs, "doc_id", "left_semi").select(
         "doc_id", F.array_distinct("tokens").alias("tokset")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
@@ -167,8 +178,8 @@ def jaccard_verified_pairs(
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b") - F.size(F.array_intersect("set_a", "set_b"))).cast("double")
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        cand.join(bcast_sets(a), "doc_a")
+        .join(bcast_sets(b), "doc_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
