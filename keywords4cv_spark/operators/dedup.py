@@ -381,7 +381,7 @@ def simhash_near_dups(
 def dup_components(
     edges: DataFrame,
     max_iterations: int = 20,
-    local_threshold: int = 1_000_000,
+    local_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(doc_id, rep_doc_id, component_size): connected components of the
     near-duplicate graph — the keep-one-per-group step after pair
@@ -410,8 +410,11 @@ def dup_components(
     iterative Spark loop over a driver-small graph pays ~1 s of
     scheduling floor per round for microseconds of work. When the
     symmetrized edge relation (already persisted and counted for the
-    loop anyway) fits the gate, the components are solved exactly with
-    a driver union-find — identical min-label/size output, zero loop
+    loop anyway) fits the gate, the components are solved exactly on
+    the driver with the SAME min-label + pointer-jump algorithm
+    vectorized in numpy over Arrow-collected edge arrays (a 5M-edge
+    collect is ~160 MB against the 48g driver heap; the scatter-min
+    rounds are C-speed) — identical min-label/size output, zero loop
     rounds. Above the gate (or with ``local_threshold=0``, which the
     loop's tests force) the distributed doubling loop runs unchanged —
     at 10^12 docs the edge list can be billions of rows and never
@@ -429,34 +432,51 @@ def dup_components(
     )
     n_sym = sym.count()
     if n_sym <= 2 * local_threshold:
+        import numpy as np
+        import pandas as pd
+
         spark = edges.sparkSession
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in sym.collect():
-            a, b = int(r["src"]), int(r["dst"])
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
+        # Arrow collect: the py4j Row path measures ~100× slower at
+        # millions of rows and was why the driver solver used to lose
+        # to the distributed loop above ~1M edges
+        pdf = sym.toPandas()
         sym.unpersist()
-        rep: dict[int, int] = {}
-        for x in parent:
-            rep[find(x)] = min(rep.get(find(x), x), x)
-        size: dict[int, int] = {}
-        for x in parent:
-            size[rep[find(x)]] = size.get(rep[find(x)], 0) + 1
-        rows = [(x, rep[find(x)], size[rep[find(x)]]) for x in parent]
+        if len(pdf) == 0:
+            return spark.createDataFrame(
+                [], "doc_id long, rep_doc_id long, component_size long"
+            )
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        # the same min-label propagation + pointer jumping as the
+        # distributed loop, vectorized: nodes compact to sorted indices
+        # (so index order == doc_id order and the converged per-
+        # component min index IS the min doc_id), each round is one
+        # scatter-min over the edge arrays plus jump-to-fixpoint —
+        # O(E) C-speed per round, O(log D) rounds
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            old_sum = int(lab.sum())
+            np.minimum.at(lab, si, lab[di])
+            while True:
+                jumped = lab[lab]
+                if np.array_equal(jumped, lab):
+                    break
+                lab = np.minimum(lab, jumped)
+            if int(lab.sum()) == old_sum:
+                break
+        sizes = np.bincount(lab, minlength=len(nodes))
+        out = pd.DataFrame(
+            {
+                "doc_id": nodes,
+                "rep_doc_id": nodes[lab],
+                "component_size": sizes[lab].astype(np.int64),
+            }
+        )
         return spark.createDataFrame(
-            rows, "doc_id long, rep_doc_id long, component_size long"
+            out, "doc_id long, rep_doc_id long, component_size long"
         )
     # initial labels = closed-neighborhood min straight off the edge
     # relation: ONE groupBy replaces the old distinct-nodes pass AND the

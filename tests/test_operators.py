@@ -294,6 +294,34 @@ def test_dup_components_distributed_loop_matches_local(spark):
     }
 
 
+def test_dup_components_local_solver_chain_and_dup_edges(spark):
+    """The numpy local solver must converge on a long chain (needs
+    multiple propagation rounds — reach doubles per round) and absorb
+    duplicate/reversed edges; non-contiguous doc_ids exercise the
+    compaction. Also must agree with the distributed loop."""
+    chain = [(100 + 3 * i, 100 + 3 * (i + 1)) for i in range(40)]
+    extra = [(7, 900), (900, 7), (7, 900), (5000, 4999)]  # dups + reversed
+    edges = spark.createDataFrame(chain + extra, "doc_a long, doc_b long")
+    expect = {}
+    chain_nodes = sorted({x for e in chain for x in e})
+    for n in chain_nodes:
+        expect[n] = (100, len(chain_nodes))
+    for n in (7, 900):
+        expect[n] = (7, 2)
+    for n in (4999, 5000):
+        expect[n] = (4999, 2)
+    got = {
+        r.doc_id: (r.rep_doc_id, r.component_size)
+        for r in dedup.dup_components(edges).collect()
+    }
+    assert got == expect
+    got_dist = {
+        r.doc_id: (r.rep_doc_id, r.component_size)
+        for r in dedup.dup_components(edges, local_threshold=0).collect()
+    }
+    assert got_dist == expect
+
+
 def test_ivf_topk_matches_exact_on_clustered_data(spark):
     """IVF-Flat with well-separated clusters: probing the nearest lists
     returns the same top-k as exact brute-force cosine (recall = 1 when
