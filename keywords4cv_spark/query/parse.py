@@ -75,11 +75,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import (
     corpus_stats,
     term_frequencies,
@@ -317,6 +318,7 @@ def _clause_terms(
     parsed: dict[int, list[Clause]],
     max_expansions: int,
     fuzzy_max_expansions: int,
+    skip_literals: bool = False,
 ) -> DataFrame | None:
     """Literal + dictionary-expanded clause terms, shared by both
     executors: (query_id, clause_id, occur, term, *dictionary columns).
@@ -326,9 +328,17 @@ def _clause_terms(
     resolved against the dictionary too — a term absent from the corpus
     vocabulary has no postings either way, so dropping it here changes
     no result while letting every downstream join key on resolved
-    terms. Expansion windows are per-clause and capped: prefix by
-    lexicographic term order, fuzzy by (distance, df desc, term) —
-    Lucene's maxExpansions discipline, dictionary work only.
+    terms (``skip_literals`` lets the indexed executor resolve them
+    through the driver-memoized ``lookup_terms`` probe instead — zero
+    Spark jobs once warm). Expansion windows are per-clause and capped:
+    prefix/wildcard/regexp by lexicographic term order, fuzzy by
+    (distance, df desc, term) — Lucene's maxExpansions discipline,
+    dictionary work only. All four expansion kinds share ONE dictionary
+    scan and ONE ranking window (a kind-tagged broadcast join whose
+    sort key degenerates to plain term order for non-fuzzy rows); the
+    per-kind shape this replaces paid a dictionary scan + window
+    exchange PER KIND per call, which at the local-mode scheduling
+    floor was the bulk of the query-string probe cost.
     """
     extra = [c for c in dictionary.columns if c != "term"]
     out_cols = ["query_id", "clause_id", "occur", "term", *extra]
@@ -336,129 +346,118 @@ def _clause_terms(
 
     out_cols.append("boost")
 
-    lit_rows = [
-        (qid, cid, c.occur, c.terms[0], c.boost)
-        for qid, cs in parsed.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "term"
-    ]
+    lit_rows = (
+        []
+        if skip_literals
+        else [
+            (qid, cid, c.occur, c.terms[0], c.boost)
+            for qid, cs in parsed.items()
+            for cid, c in enumerate(cs)
+            if c.kind == "term"
+        ]
+    )
     if lit_rows:
-        ldf = spark.createDataFrame(
+        ldf = local_rows(
+            spark,
             lit_rows,
             "query_id long, clause_id long, occur string, term string, boost double",
         )
         parts.append(dictionary.join(F.broadcast(ldf), "term").select(*out_cols))
 
-    pre_rows = [
-        (qid, cid, c.occur, c.terms[0], c.boost)
-        for qid, cs in parsed.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "prefix"
-    ]
-    if pre_rows:
-        pdf = spark.createDataFrame(
-            pre_rows,
-            "query_id long, clause_id long, occur string, prefix string, boost double",
+    exp_rows = []
+    for qid, cs in parsed.items():
+        for cid, c in enumerate(cs):
+            if c.kind == "prefix":
+                exp_rows.append(
+                    (qid, cid, c.occur, "prefix", None, c.terms[0], None, 0, c.boost)
+                )
+            elif c.kind == "wildcard":
+                # LIKE translation + the literal prefix (may be "") —
+                # terms contain no %/_ so the translation is
+                # collision-free (see _wildcard_pattern)
+                exp_rows.append(
+                    (
+                        qid,
+                        cid,
+                        c.occur,
+                        "wildcard",
+                        None,
+                        re.split(r"[*?]", c.terms[0])[0],
+                        c.terms[0].replace("*", "%").replace("?", "_"),
+                        0,
+                        c.boost,
+                    )
+                )
+            elif c.kind == "regexp":
+                # anchored: Lucene RegexpQuery matches the ENTIRE term
+                # (Java Matcher.matches() / DuckDB regexp_full_match)
+                exp_rows.append(
+                    (
+                        qid,
+                        cid,
+                        c.occur,
+                        "regexp",
+                        None,
+                        _regexp_literal_prefix(c.terms[0]),
+                        "^(?:" + c.terms[0] + ")$",
+                        0,
+                        c.boost,
+                    )
+                )
+            elif c.kind == "fuzzy":
+                exp_rows.append(
+                    (qid, cid, c.occur, "fuzzy", c.terms[0], None, None, c.dist, c.boost)
+                )
+    if exp_rows:
+        edf = local_rows(
+            spark,
+            exp_rows,
+            "query_id long, clause_id long, occur string, kind string,"
+            " probe string, pre string, pat string, dist int, boost double",
         )
-        w = Window.partitionBy("query_id", "clause_id").orderBy("term")
-        parts.append(
-            dictionary.join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_expansions)
-            .select(*out_cols)
-        )
-
-    wc_rows = [
-        (
-            qid,
-            cid,
-            c.occur,
-            # LIKE translation + the literal prefix (may be "") for
-            # dictionary rowgroup pruning; terms contain no %/_ so the
-            # translation is collision-free (see _wildcard_pattern)
-            c.terms[0].replace("*", "%").replace("?", "_"),
-            re.split(r"[*?]", c.terms[0])[0],
-            c.boost,
-        )
-        for qid, cs in parsed.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "wildcard"
-    ]
-    if wc_rows:
-        wdf = spark.createDataFrame(
-            wc_rows,
-            "query_id long, clause_id long, occur string, pat string,"
-            " pre string, boost double",
-        )
-        w = Window.partitionBy("query_id", "clause_id").orderBy("term")
-        parts.append(
-            dictionary.join(
-                F.broadcast(wdf),
-                F.col("term").startswith(F.col("pre"))
-                & F.expr("term LIKE pat"),
+        kind = F.col("kind")
+        cond = (
+            ((kind == "prefix") & F.col("term").startswith(F.col("pre")))
+            | (
+                (kind == "wildcard")
+                & F.col("term").startswith(F.col("pre"))
+                & F.expr("term LIKE pat")
             )
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_expansions)
-            .select(*out_cols)
-        )
-
-    rx_rows = [
-        (
-            qid,
-            cid,
-            c.occur,
-            # anchored: Lucene RegexpQuery matches the ENTIRE term
-            # (Java Matcher.matches() / DuckDB regexp_full_match)
-            "^(?:" + c.terms[0] + ")$",
-            _regexp_literal_prefix(c.terms[0]),
-            c.boost,
-        )
-        for qid, cs in parsed.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "regexp"
-    ]
-    if rx_rows:
-        rdf = spark.createDataFrame(
-            rx_rows,
-            "query_id long, clause_id long, occur string, pat string,"
-            " pre string, boost double",
-        )
-        w = Window.partitionBy("query_id", "clause_id").orderBy("term")
-        parts.append(
-            dictionary.join(
-                F.broadcast(rdf),
-                F.col("term").startswith(F.col("pre"))
-                & F.expr("term RLIKE pat"),
+            | (
+                (kind == "regexp")
+                & F.col("term").startswith(F.col("pre"))
+                & F.expr("term RLIKE pat")
             )
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_expansions)
-            .select(*out_cols)
+            | (
+                (kind == "fuzzy")
+                & (F.abs(F.length("term") - F.length("probe")) <= F.col("dist"))
+            )
         )
-
-    fuz_rows = [
-        (qid, cid, c.occur, c.terms[0], c.dist, c.boost)
-        for qid, cs in parsed.items()
-        for cid, c in enumerate(cs)
-        if c.kind == "fuzzy"
-    ]
-    if fuz_rows:
-        fdf = spark.createDataFrame(
-            fuz_rows,
-            "query_id long, clause_id long, occur string, probe string,"
-            " dist int, boost double",
+        j = (
+            dictionary.join(F.broadcast(edf), cond)
+            .withColumn(
+                "_dist",
+                F.when(kind == "fuzzy", F.levenshtein("probe", "term")).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .filter((kind != "fuzzy") | (F.col("_dist") <= F.col("dist")))
         )
+        # one window for every kind: non-fuzzy rows sort (0, 0, term) ==
+        # plain term order; fuzzy rows sort (distance, -df, term) — the
+        # exact per-kind orders (and caps) of the per-kind windows this
+        # folds together
         w = Window.partitionBy("query_id", "clause_id").orderBy(
-            "distance", F.col("df").desc(), "term"
+            F.when(kind == "fuzzy", F.col("_dist")).otherwise(F.lit(0)).asc(),
+            F.when(kind == "fuzzy", -F.col("df")).otherwise(F.lit(0)).asc(),
+            F.col("term").asc(),
+        )
+        cap = F.when(kind == "fuzzy", F.lit(fuzzy_max_expansions)).otherwise(
+            F.lit(max_expansions)
         )
         parts.append(
-            dictionary.join(
-                F.broadcast(fdf),
-                F.abs(F.length("term") - F.length("probe")) <= F.col("dist"),
-            )
-            .withColumn("distance", F.levenshtein("probe", "term"))
-            .filter(F.col("distance") <= F.col("dist"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= fuzzy_max_expansions)
+            j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap)
             .select(*out_cols)
         )
 
@@ -553,8 +552,8 @@ def _boolean_rank(
 
     must_ok = None
     if must_qids:
-        nm = spark.createDataFrame(
-            [(q, n_must[q]) for q in must_qids], "query_id long, n_must long"
+        nm = local_rows(
+            spark, [(q, n_must[q]) for q in must_qids], "query_id long, n_must long"
         )
         must_ok = (
             hits.filter(F.col("occur") == MUST)
@@ -840,7 +839,7 @@ def _decode_postings(spark, index, wanted) -> DataFrame:
             return spark.createDataFrame(
                 [], "term_id long, doc_id long, tf long, dl long"
             )
-        wanted = spark.createDataFrame([(t,) for t in term_ids], "term_id long")
+        wanted = local_rows(spark, [(t,) for t in term_ids], "term_id long")
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
         nb = int(srow["n_term_buckets"])
@@ -944,7 +943,8 @@ def _indexed_phrases(
             matched = proximity_search(spark, pos_index, phrases, slop=slop)
         if score_phrases:
             matched = matched.persist()
-        cmap = spark.createDataFrame(
+        cmap = local_rows(
+            spark,
             [(qid, cid, c.occur, " ".join(c.terms)) for qid, cid, c in group],
             "query_id long, clause_id long, occur string, phrase string",
         )
@@ -957,7 +957,8 @@ def _indexed_phrases(
             # per-phrase df from the match relation; dl from docmeta;
             # one synthetic-term BM25 contribution per scoring clause
             srow = index.stats_row()
-            bmap = spark.createDataFrame(
+            bmap = local_rows(
+                spark,
                 [
                     (qid, " ".join(c.terms), c.boost)
                     for qid, cid, c in group
@@ -1106,9 +1107,6 @@ def _indexed_search(
     empty_hits = spark.createDataFrame(
         [], "query_id long, clause_id long, occur string, doc_id long"
     )
-    cterm = _clause_terms(
-        spark, dictionary, parsed, max_expansions, fuzzy_max_expansions
-    )
     # The expanded clause-term relation is expansion-capped by
     # construction (≤ max_expansions·|clauses| rows): materialize it
     # driver-side ONCE. Every downstream consumer — the WAND triples,
@@ -1117,13 +1115,41 @@ def _indexed_search(
     # subtree per use (it used to run 3+ times per call: once for the
     # triples collect, once for the bucket collect, once inside the
     # posting join), and the probe collapses to one Spark job per call.
+    # Literal term clauses resolve through the driver-memoized
+    # lookup_terms probe (ZERO Spark jobs once warm — Lucene's
+    # in-memory term dictionary); only expansion kinds (prefix/
+    # wildcard/regexp/fuzzy) run the one-scan dictionary probe.
     CTERM_SCHEMA = (
         "query_id long, clause_id long, occur string, term string,"
         " term_id long, df long, boost double"
     )
-    cterm_rows = cterm.collect() if cterm is not None else []
+    CTermRow = Row(
+        "query_id", "clause_id", "occur", "term", "term_id", "df", "boost"
+    )
+    lit = [
+        (qid, cid, c.occur, c.terms[0], c.boost)
+        for qid, cs in parsed.items()
+        for cid, c in enumerate(cs)
+        if c.kind == "term"
+    ]
+    lut = index.lookup_terms([t for _, _, _, t, _ in lit]) if lit else {}
+    cterm_rows: list = [
+        CTermRow(qid, cid, occ, t, lut[t][0], lut[t][1], b)
+        for qid, cid, occ, t, b in lit
+        if t in lut
+    ]
+    exp = _clause_terms(
+        spark,
+        dictionary,
+        parsed,
+        max_expansions,
+        fuzzy_max_expansions,
+        skip_literals=True,
+    )
+    if exp is not None:
+        cterm_rows.extend(exp.collect())
     cterm = (
-        spark.createDataFrame(cterm_rows, CTERM_SCHEMA) if cterm_rows else None
+        local_rows(spark, cterm_rows, CTERM_SCHEMA) if cterm_rows else None
     )
 
     # ---- WAND fast path: pure-disjunctive queries -------------------
@@ -1148,7 +1174,7 @@ def _indexed_search(
         parsed_gen = {q: cs for q, cs in parsed.items() if q not in wand_set}
         gen_rows = [r for r in cterm_rows if int(r["query_id"]) not in wand_set]
         cterm_gen = (
-            spark.createDataFrame(gen_rows, CTERM_SCHEMA) if gen_rows else None
+            local_rows(spark, gen_rows, CTERM_SCHEMA) if gen_rows else None
         )
         if not any(
             c.kind in ("term", "prefix", "wildcard", "regexp", "fuzzy")
@@ -1180,7 +1206,8 @@ def _indexed_search(
             if key not in sbest or b > sbest[key][2]:
                 sbest[key] = (r["term"], int(r["df"]), b)
         if sbest:
-            cterm_score = spark.createDataFrame(
+            cterm_score = local_rows(
+                spark,
                 [
                     (qid, tid, term, df_, b)
                     for (qid, tid), (term, df_, b) in sorted(sbest.items())

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keywords4cv_spark.index.build import IndexTables
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.codec import decode_block_positions
 from keywords4cv_spark.textprep.normalize import tokenize
 
@@ -64,7 +65,7 @@ def phrase_search(
         return spark.createDataFrame(
             [], "phrase string, doc_id long, n_occurrences long"
         )
-    qterms = spark.createDataFrame(qrows, "phrase string, ord int, term_id long")
+    qterms = local_rows(spark, qrows, "phrase string, ord int, term_id long")
     srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:
@@ -184,7 +185,7 @@ def proximity_search(
         return spark.createDataFrame(
             [], "phrase string, doc_id long, n_occurrences long"
         )
-    qterms = spark.createDataFrame(qrows, "phrase string, ord int, term_id long")
+    qterms = local_rows(spark, qrows, "phrase string, ord int, term_id long")
     srow = index.stats_row()
     scan = index.postings
     if "bucket" in scan.columns and "n_term_buckets" in index.stats.columns:

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import IndexTables
 from keywords4cv_spark.index.codec import decode_block_positions
 from keywords4cv_spark.query.fixtures import TOP_K, query_term_pairs
@@ -72,7 +73,7 @@ def snippet_windows(
         )
     else:
         hit_df = bm25_wand(spark, index, cfg, k=k, queries=pairs)
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qdf = local_rows(spark, pairs, "query_id long, term string")
     return snippet_windows_for_hits(spark, index, hit_df, qdf, width=width)
 
 
@@ -112,8 +113,8 @@ def snippet_windows_for_hits(
     term_ids = sorted({tid for _, _, tid in resolved})
     if not term_ids or not hit_map:
         return spark.createDataFrame([], OUT_SCHEMA)
-    qterms = spark.createDataFrame(
-        resolved, "query_id long, term string, term_id long"
+    qterms = local_rows(
+        spark, resolved, "query_id long, term string, term_id long"
     )
     srow = index.stats_row()
     scan = index.postings

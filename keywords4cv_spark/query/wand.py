@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import IndexTables
 from keywords4cv_spark.index.codec import bm25_contrib, decode_block
 from keywords4cv_spark.query.bm25 import SCORE_DECIMALS, rank_topk
@@ -369,8 +370,8 @@ def bm25_wand(
     ]
     if not qrows:
         return spark.createDataFrame([], "query_id long, rank int, doc_id long, score double")
-    qterms = spark.createDataFrame(
-        qrows, "query_id long, term_id long, df long, w double"
+    qterms = local_rows(
+        spark, qrows, "query_id long, term_id long, df long, w double"
     )
     term_ids = sorted({tid for _, tid, _, _ in qrows})
 
@@ -493,8 +494,8 @@ def bm25_wand_multi(
             df_total[term] = df_total.get(term, 0) + df_val
         term_ids = sorted({tid for tid, _ in lut.values()})
         qt_rows = [(qid, t, lut[t][0]) for qid, t in pairs if t in lut]
-        qt = spark.createDataFrame(
-            qt_rows, "query_id long, term string, term_id long"
+        qt = local_rows(
+            spark, qt_rows, "query_id long, term string, term_id long"
         )
         scan = idx.postings
         if "bucket" in scan.columns and "n_term_buckets" in idx.stats.columns:
@@ -528,7 +529,7 @@ def bm25_wand_multi(
         # banded by the build-time rule doc_id % n_salts so each lands in
         # exactly the (query, segment) group whose postings could emit it
         qids = sorted({q for q, _ in pairs})
-        qid_df = spark.createDataFrame([(q,) for q in qids], "query_id long")
+        qid_df = local_rows(spark, [(q,) for q in qids], "query_id long")
         tomb = (
             exclude.select(F.col("doc_id").cast("long"))
             .crossJoin(F.broadcast(qid_df))

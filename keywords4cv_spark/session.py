@@ -58,3 +58,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_rows(spark: SparkSession, rows, schema: str):
+    """Small driver-local relation as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` slices the list across
+    ``defaultParallelism`` partitions, so every broadcast build over a
+    10-row clause table runs a 32-task job in local[32] — measured
+    ~0.5 s vs ~0.3 s warm for the single-slice shape, times the ~10
+    such builds a composed query makes. ``coalesce(1)`` is NOT
+    equivalent: it defeats the Arrow local-relation conversion and
+    measured ~3.5 s per materialization on this box.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
