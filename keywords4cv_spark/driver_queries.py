@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.deploy import ensure_py_files
 from keywords4cv_spark.index.build import (
     build_index,
@@ -474,7 +475,7 @@ def q_whitelist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = tokenized_docs(_docs(spark, sf_dir), CFG)
     tf_df = term_frequencies(toks)
-    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
+    skills = local_rows(spark, vocab.SKILLS, "category string, skill string")
     return (
         tf_df.join(
             F.broadcast(skills.select(F.col("skill").alias("term")).distinct()),
@@ -2084,7 +2085,7 @@ def q_boolean_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
 
     tf_df = term_frequencies(tokenized_docs(_docs(spark, sf_dir), CFG))
-    qdf = spark.createDataFrame(_and_pairs(), "query_id long, term string")
+    qdf = local_rows(spark, _and_pairs(), "query_id long, term string")
     nq = qdf.groupBy("query_id").agg(F.count("*").alias("n_terms"))
     hits = (
         tf_df.join(F.broadcast(qdf), "term")
@@ -2302,11 +2303,13 @@ def q_boolean_or_not_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
 
     tf_df = term_frequencies(tokenized_docs(_docs(spark, sf_dir), CFG)).persist()
-    sq = spark.createDataFrame(
+    sq = local_rows(
+        spark,
         [(qid, t) for qid, should, _ in _OR_NOT_QUERIES for t in should],
         "query_id long, term string",
     )
-    nq = spark.createDataFrame(
+    nq = local_rows(
+        spark,
         [(qid, t) for qid, _, nots in _OR_NOT_QUERIES for t in nots],
         "query_id long, term string",
     )
@@ -2704,7 +2707,7 @@ def q_prefix_query(
     query (lexicographically-first terms, Lucene maxExpansions
     semantics), so no plan node ever grows with the match count."""
     index, _icfg = _index_for(spark, sf_dir)
-    pdf = spark.createDataFrame(_PREFIX_QUERIES, "query_id long, prefix string")
+    pdf = local_rows(spark, _PREFIX_QUERIES, "query_id long, prefix string")
     terms = index.dictionary.select("term", "term_id")
     expanded = terms.join(
         F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
@@ -3245,7 +3248,7 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary plus a per-prefix top-k window; postings never touched,
     nothing scales with the corpus beyond |V|."""
     index, _icfg = _index_for(spark, sf_dir)
-    pdf = spark.createDataFrame(_SUGGEST_PREFIXES, "prefix_id long, prefix string")
+    pdf = local_rows(spark, _SUGGEST_PREFIXES, "prefix_id long, prefix string")
     cand = index.dictionary.join(
         F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
     )
@@ -3313,7 +3316,8 @@ def q_term_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-sorted dictionary) would prune further but changes no
     semantics."""
     index, _icfg = _index_for(spark, sf_dir)
-    pdf = spark.createDataFrame(
+    pdf = local_rows(
+        spark,
         _FUZZY_SUGGEST_PROBES, "probe_id long, probe string"
     )
     cand = (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from keywords4cv_spark import vocab
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import tokenized_docs
 
 MIN_TEXT_LEN = 10
@@ -59,7 +60,7 @@ def categorize_terms(
     from keywords4cv_spark.deploy import ensure_py_files
 
     ensure_py_files(spark)
-    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
+    skills = local_rows(spark, vocab.SKILLS, "category string, skill string")
     if cfg.lang_filter and "lang" in docs.columns:
         docs = docs.filter(F.col("lang") == cfg.lang_filter)
     min_len, stop = cfg.min_token_len, cfg.stopwords

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from keywords4cv_spark import vocab
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import term_frequencies, tokenized_docs
 
 
@@ -36,7 +37,8 @@ def extraction_metrics(
     """
     skill_set = sorted({s for _, s in vocab.SKILLS})
     n_skills = len(skill_set)
-    skill_terms = spark.createDataFrame(
+    skill_terms = local_rows(
+        spark,
         [(s, 1) for s in skill_set], "term string, is_skill int"
     )
     extracted = (
@@ -120,7 +122,8 @@ def mean_average_precision(
     )
     if not hit_rows:
         dict_df.unpersist()
-        return spark.createDataFrame(
+        return local_rows(
+        spark,
             [(None, 0)], "average_precision double, n_hits long"
         )
     pos_aggs = []
@@ -137,6 +140,7 @@ def mean_average_precision(
     ap = sum((i + 1) / int(prow[f"p{i}"]) for i in range(len(hit_rows))) / len(
         hit_rows
     )
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(_round6(ap), len(hit_rows))], "average_precision double, n_hits long"
     )

@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from keywords4cv_spark import vocab
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import (
     corpus_stats,
     term_frequencies,
@@ -53,11 +54,13 @@ def scored_postings(
     dict_df = tf_df.groupBy("term").agg(F.count("*").alias("df"))
     stats = corpus_stats(toks)
 
-    skills = spark.createDataFrame(vocab.SKILLS, "category string, skill string")
-    negative = spark.createDataFrame(
+    skills = local_rows(spark, vocab.SKILLS, "category string, skill string")
+    negative = local_rows(
+        spark,
         [(w,) for w in vocab.NEGATIVE_KEYWORDS], "word string"
     )
-    fields = spark.createDataFrame(
+    fields = local_rows(
+        spark,
         vocab.FIELD_WEIGHTS, "source string, weight double"
     )
 
@@ -128,7 +131,7 @@ def fuzzy_resolve(
     from ``docs``.
     """
     probes = probes if probes is not None else vocab.FUZZY_PROBES
-    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    pdf = local_rows(spark, [(p,) for p in probes], "probe string")
     if terms is None:
         terms = (
             tokenized_docs(docs, cfg)
@@ -184,14 +187,15 @@ def reference_term_scores(
         ).alias("toks"),
     ).persist()
     orig = toks.select("doc_id", F.explode("toks").alias("term"))
-    syn = spark.createDataFrame(expansion.SYNONYMS, "term string, synonym string")
+    syn = local_rows(spark, expansion.SYNONYMS, "term string, synonym string")
     expanded = orig.join(F.broadcast(syn), "term").select(
         "doc_id", F.col("synonym").alias("term")
     )
     allt = orig.unionByName(expanded).distinct()
     presence = orig.withColumn("presence", F.lit(1))
     nd = allt.groupBy("doc_id").agg(F.count("*").alias("n_set"))
-    skills = spark.createDataFrame(
+    skills = local_rows(
+        spark,
         [(s,) for s in sorted({s for _, s in vocab.SKILLS})], "term string"
     ).withColumn("in_wl", F.lit(True))
     secs = term_sections(docs, cfg)
@@ -329,7 +333,7 @@ def fuzzy_match_scores(
     top-N bigrams (broadcast-sized); probes broadcast.
     """
     probes = probes if probes is not None else vocab.FUZZY_PHRASE_PROBES
-    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    pdf = local_rows(spark, [(p,) for p in probes], "probe string")
     # fused tokenize + partial-count pass (textprep/fused.py): the only
     # exchange carries gram-vocabulary partials, not the corpus — the
     # posexplode + lead-window shape paid a corpus-wide shuffle+sort

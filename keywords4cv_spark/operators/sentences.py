@@ -42,6 +42,7 @@ from pyspark.sql.window import Window
 
 from keywords4cv_spark import vocab
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.operators.sections import HEADINGS
 from keywords4cv_spark.textprep.spark_exprs import tokens_col
 
@@ -126,7 +127,8 @@ def keyword_sections(
 ) -> DataFrame:
     """(doc_id, term, section): nearest-preceding heading at the FIRST
     occurrence of each whitelist keyword in each document (P8)."""
-    skills = spark.createDataFrame(
+    skills = local_rows(
+        spark,
         [(s,) for s in sorted({s for _, s in vocab.SKILLS})], "term string"
     )
     return (
@@ -148,7 +150,8 @@ def _sentence_skill_hits(
             tokens_col(F.col("sentence"), cfg.min_token_len, cfg.stopwords)
         ).alias("term"),
     )
-    skills = spark.createDataFrame(
+    skills = local_rows(
+        spark,
         [(s_,) for s_ in sorted({s_ for _, s_ in vocab.SKILLS})], "term string"
     )
     return (
@@ -241,7 +244,8 @@ def context_validated_semantic(
 
     hits = _sentence_skill_hits(spark, docs, cfg).persist()
     skills = sorted({s_ for _, s_ in vocab.SKILLS})
-    tv = spark.createDataFrame(
+    tv = local_rows(
+        spark,
         [(t, i) for i, t in enumerate(skills)], "term string, vec_id long"
     )
     evec = emb.select("vec_id", "embedding")

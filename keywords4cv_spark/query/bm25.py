@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.index.build import (
     corpus_stats,
     term_frequencies,
@@ -80,7 +81,7 @@ def bm25_brute_force(
     stats = corpus_stats(toks)
 
     pairs = queries if queries is not None else query_term_pairs()
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qdf = local_rows(spark, pairs, "query_id long, term string")
 
     # (query term ⋈ df) is vocabulary-row-count tiny → broadcast it into
     # the big tf relation; stats is a 1-row broadcast.
@@ -121,7 +122,7 @@ def bm25_explain(
     stats = corpus_stats(toks)
 
     pairs = queries if queries is not None else query_term_pairs()
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qdf = local_rows(spark, pairs, "query_id long, term string")
     qterms = qdf.join(dict_df, "term")
 
     per_term = (
@@ -243,7 +244,7 @@ def bm25_collapse(
     stats = corpus_stats(toks)
 
     pairs = queries if queries is not None else query_term_pairs()
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qdf = local_rows(spark, pairs, "query_id long, term string")
     qterms = qdf.join(dict_df, "term")
     scored = (
         tf_df.join(F.broadcast(qterms), "term")
@@ -309,7 +310,7 @@ def bm25f_topk(
     from keywords4cv_spark.textprep.spark_exprs import tokens_col
 
     pairs = queries if queries is not None else query_term_pairs()
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    qdf = local_rows(spark, pairs, "query_id long, term string")
 
     segs = _heading_segments(docs)
     w_expr = F.lit(BM25F_DEFAULT_WEIGHT)

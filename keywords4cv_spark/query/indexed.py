@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
+from keywords4cv_spark.session import local_rows
 from keywords4cv_spark.query.bm25 import (
     SCORE_DECIMALS,
     bm25_idf_col,
@@ -62,7 +63,8 @@ def _qterms_local(
     rows = [(qid, t, lut[t][0], lut[t][1]) for qid, t in pairs if t in lut]
     if not rows:
         return None
-    qterms = spark.createDataFrame(
+    qterms = local_rows(
+        spark,
         rows, "query_id long, term string, term_id long, df long"
     )
     return qterms, [r[2] for r in rows]
@@ -181,7 +183,7 @@ def more_like_this_indexed(
         sel_rows.extend((pid, tid, df) for _, _, tid, df in cands[:n_terms])
     if not sel_rows:
         return spark.createDataFrame([], out_schema)
-    sel = spark.createDataFrame(sel_rows, "query_id long, term_id long, df long")
+    sel = local_rows(spark, sel_rows, "query_id long, term_id long, df long")
     posts = _decode_postings(spark, index, sorted({r[1] for r in sel_rows}))
     scored = (
         _with_stats(posts.join(F.broadcast(sel), "term_id"), index)
