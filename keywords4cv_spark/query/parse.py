@@ -119,6 +119,11 @@ _CLAUSE_RE = re.compile(
     r"|(\S+))"  #                                        bare token
 )
 _FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
+# constructs outside the java.util.regex ∩ RE2 common subset: an
+# unescaped backreference (\1..\9) or a (?...) group that is not the
+# plain non-capturing (?:...) — covers lookaround (?= (?! (?<= (?<!,
+# named groups (?P<x>/(?<x>), flags, conditionals, atomic groups
+_NON_PORTABLE_RE = re.compile(r"(?<!\\)(?:\\\\)*\\[1-9]|\(\?(?!:)")
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FIELD_RE = re.compile(r"^(\w+):(\S+)$")
 
@@ -154,8 +159,24 @@ def _regexp_literal_prefix(pat: str) -> str:
     run's last character is excluded when the stopping metachar is a
     may-match-zero quantifier (``*``, ``?``, ``{``) — ``ab*c`` matches
     "ac", so only "a" is a safe pruning prefix — but kept for ``+``
-    (at-least-once). Used ONLY to prune the dictionary scan; the
+    (at-least-once). A top-level unescaped ``|`` anywhere makes ANY
+    prefix unsound (``merge|join`` also matches "join…"), so the
+    prefix collapses to "" — alternations inside groups already stop
+    the scan at the ``(``. Used ONLY to prune the dictionary scan; the
     anchored pattern still decides membership."""
+    depth, esc = 0, False
+    for ch in pat:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
     i = 0
     while i < len(pat) and pat[i] not in _REGEX_METAS:
         i += 1
@@ -216,6 +237,14 @@ def parse_query(q: str) -> list[Clause]:
                 re.compile(pat)
             except re.error:
                 continue  # malformed pattern: drop the clause (Lucene throws)
+            # the pattern executes on BOTH java.util.regex (Spark RLIKE)
+            # and RE2 (DuckDB regexp_full_match): Python-valid constructs
+            # outside their common subset — backreferences, lookaround,
+            # named groups — would throw at JOB time on one engine
+            # instead of parse time; drop them like other malformed
+            # clauses (Lucene RegexpQuery supports none of these either)
+            if _NON_PORTABLE_RE.search(pat):
+                continue
             if pat and pat.strip(".*?+()"):
                 clauses.append(Clause(occur, "regexp", (pat,), boost=boost))
             continue
@@ -502,6 +531,18 @@ def _boolean_rank(
     untouched — the knob decides candidacy only.
     """
     termlike = {"term", "phrase", "prefix", "wildcard", "regexp", "fuzzy"}
+    if min_should_match > 0:
+        # Lucene rewrites a BooleanQuery whose minimumShouldMatch
+        # exceeds its optional-clause count to MatchNoDocsQuery — a
+        # must-only query under msm >= 1 matches nothing. Drop such
+        # queries from candidacy entirely (queries WITH should clauses
+        # but fewer than msm already die at the n_s >= msm filter).
+        parsed = {
+            qid: cs
+            for qid, cs in parsed.items()
+            if sum(1 for c in cs if c.occur == SHOULD and c.kind in termlike)
+            >= min_should_match
+        }
 
     def _pred(cs: list[Clause], positive: bool) -> F.Column | None:
         """Conjunction (positive) / disjunction (negative) of a query's
@@ -747,7 +788,9 @@ def search_query_strings(
         )
         for qid, cid, c in phrase_clauses:
             if score_phrases and c.occur != MUST_NOT:
-                pc = _phrase_hit_docs(pos, c.terms, c.slop, counts=True).persist()
+                pc = _phrase_hit_docs(
+                    pos, c.terms, c.slop, counts=True
+                ).localCheckpoint()
                 h = pc.select(
                     F.lit(qid).cast("long").alias("query_id"),
                     F.lit(cid).cast("long").alias("clause_id"),
@@ -942,7 +985,12 @@ def _indexed_phrases(
         else:
             matched = proximity_search(spark, pos_index, phrases, slop=slop)
         if score_phrases:
-            matched = matched.persist()
+            # eager checkpoint, not persist: phits, pdetail AND the
+            # explain consumer all read the materialized relation
+            # (candidate-bounded rows), and no cache handle outlives
+            # the call — persist() handles accumulated across a long
+            # session's explain calls
+            matched = matched.localCheckpoint()
         cmap = local_rows(
             spark,
             [(qid, cid, c.occur, " ".join(c.terms)) for qid, cid, c in group],
@@ -1059,7 +1107,7 @@ def search_with_snippets(
     """
     from keywords4cv_spark.query.snippets import snippet_windows_for_hits
 
-    ranked, cterm = _indexed_search(
+    ranked, cterm, _pdetail = _indexed_search(
         spark,
         index,
         pos_index,
@@ -1098,7 +1146,7 @@ def _indexed_search(
     doc_attrs: DataFrame | None = None,
     score_phrases: bool = False,
     min_should_match: int = 0,
-) -> tuple[DataFrame, DataFrame | None]:
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     from keywords4cv_spark.query.wand import bm25_wand
 
     parsed = {qid: parse_query(s) for qid, s in queries}
@@ -1256,7 +1304,7 @@ def _indexed_search(
     )
     if ranked_w is not None:
         ranked = ranked.unionByName(ranked_w)
-    return ranked, cterm
+    return ranked, cterm, pdetail
 
 
 def explain_query_strings(
@@ -1289,7 +1337,7 @@ def explain_query_strings(
     """
     from keywords4cv_spark.query.bm25 import SCORE_DECIMALS
 
-    ranked, cterm = _indexed_search(
+    ranked, cterm, pdetail = _indexed_search(
         spark,
         index,
         pos_index,
@@ -1327,21 +1375,16 @@ def explain_query_strings(
                 "boost", "contribution",
             )
         )
-    if score_phrases:
-        parsed = {qid: parse_query(s) for qid, s in queries}
-        empty_hits = spark.createDataFrame(
-            [], "query_id long, clause_id long, occur string, doc_id long"
-        )
-        _, pdetail = _indexed_phrases(
-            spark, index, pos_index, parsed, cfg, True, empty_hits
-        )
-        if pdetail is not None:
-            parts.append(
-                pdetail.select(
-                    "query_id", "doc_id", "term", "tf", "df", "boost",
-                    F.col("score").alias("contribution"),
-                )
+    if score_phrases and pdetail is not None:
+        # the SAME relation _indexed_search already built for ranking —
+        # re-running _indexed_phrases here executed the positional
+        # reachability pass a second time per explain call
+        parts.append(
+            pdetail.select(
+                "query_id", "doc_id", "term", "tf", "df", "boost",
+                F.col("score").alias("contribution"),
             )
+        )
     if not parts:
         return spark.createDataFrame([], out_schema)
     per_term = parts[0]
@@ -1573,9 +1616,25 @@ def query_string_oracle(
             f" WHERE query_id = {qid} AND n_s >= {msm})"
         )
 
+    # Lucene MatchNoDocs rewrite (mirrors _boolean_rank): msm above a
+    # query's should-clause count means it matches nothing — its
+    # must/filter branches emit no candidate part at all
+    msm_dead = (
+        {
+            qid
+            for qid, cs in parsed.items()
+            if sum(1 for c in cs if c.occur == SHOULD and c.kind in termlike)
+            < msm
+        }
+        if msm > 0
+        else set()
+    )
+
     cand_parts: list[str] = []
     nothits_parts: list[str] = []
     for qid in parsed:
+        if qid in msm_dead:
+            continue
         pos = pos_preds[qid]
         if pos is not None:
             fsel = f"SELECT doc_id FROM attr WHERE {pos}"

@@ -449,7 +449,13 @@ def test_regexp_prefix_pruning_is_sound_fuzz():
     piece = st.tuples(atom, st.sampled_from(["", "*", "+", "?", "{1,2}"])).map(
         lambda t: t[0] + t[1]
     )
-    patterns = st.lists(piece, min_size=1, max_size=4).map("".join)
+    concat = st.lists(piece, min_size=1, max_size=4).map("".join)
+    # top-level unescaped alternation — the case where any non-empty
+    # prefix is unsound (merge|join matches "join…")
+    patterns = st.one_of(
+        concat,
+        st.tuples(concat, concat).map(lambda t: t[0] + "|" + t[1]),
+    )
     terms = st.text(alphabet="abcdxyz", max_size=10)
 
     @settings(max_examples=500, deadline=None)
@@ -631,6 +637,13 @@ def test_min_should_match(spark):
         spark, docs, [(0, "+aa bb cc dd")], min_should_match=2
     ).collect()
     assert {r.doc_id for r in rows} == {1}
+    # Lucene MatchNoDocs rewrite: a must-only query (ZERO should
+    # clauses) under msm > 0 matches nothing — msm exceeds the
+    # optional-clause count
+    rows = search_query_strings(
+        spark, docs, [(0, "+aa")], min_should_match=2
+    ).collect()
+    assert rows == []
 
 
 _MSM_QUERIES = [
@@ -638,6 +651,7 @@ _MSM_QUERIES = [
     (1, "+data merge join"),         # must + shoulds, msm on top
     (2, "mer* join"),                # expansion counts as one clause
     (3, "merge"),                    # fewer shoulds than msm → empty
+    (4, "+data"),                    # must-only, ZERO shoulds → MatchNoDocs
 ]
 
 
@@ -661,6 +675,7 @@ def test_min_should_match_matches_generated_oracle(spark, sf_dir):
     ).fetchdf()
     assert len(got) > 0
     assert not (got.query_id == 3).any()  # unsatisfiable → no rows
+    assert not (got.query_id == 4).any()  # must-only + msm → MatchNoDocs
     _assert_frames_match("min_should_match", got, want)
 
 
