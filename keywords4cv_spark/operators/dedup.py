@@ -142,6 +142,7 @@ def jaccard_verified_pairs(
     curation compositions use this instead of relying on cache-plan
     matching, which only fires on exact subtree equality.
     """
+    own_toks = toks is None
     if toks is None:
         toks = tokenized_docs(docs, cfg).select("doc_id", "tokens").persist()
     bm = _band_minima_from_tokens(toks).persist()
@@ -170,9 +171,21 @@ def jaccard_verified_pairs(
     n_cd = cand_docs.count()
     bcast_sets = F.broadcast if n_cd <= 50_000 else (lambda df: df)
     cdocs = F.broadcast(cand_docs) if n_cd <= 5_000_000 else cand_docs
-    sets = toks.join(cdocs, "doc_id", "left_semi").select(
-        "doc_id", F.array_distinct("tokens").alias("tokset")
+    # eager checkpoint of the candidate-bounded token sets: (a) BOTH
+    # verify-join sides read the materialized ~|cand docs| rows instead
+    # of each re-running the semi-join subtree against the corpus-sized
+    # tokenize cache, and (b) the tokenize cache has no consumer left,
+    # so when this function created it (no shared ``toks`` passed in)
+    # it can release HERE instead of leaking a corpus-sized cache block
+    # per standalone call — measured as cross-query GC stalls in long
+    # benches (guide §5)
+    sets = (
+        toks.join(cdocs, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct("tokens").alias("tokset"))
+        .localCheckpoint()
     )
+    if own_toks:
+        toks.unpersist()
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("set_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
