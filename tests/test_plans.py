@@ -122,13 +122,16 @@ def test_wand_scan_prunes_postings_buckets(spark, sf_dir, tmp_path):
 
 def test_jaccard_dag_tokenizes_corpus_once(spark, sf_dir):
     """VERDICT r1 #3: the candidate→verify dedup DAG must stage its
-    tokenized relation, not re-derive it per branch. One parquet scan of
-    the documents table in the whole plan."""
+    tokenized relation, not re-derive it per branch. Since r6 the
+    candidate-bounded token sets are eagerly checkpointed during the
+    call (releasing the tokenize cache), so the RETURNED verify plan
+    contains ZERO documents scans — the one tokenize pass happened at
+    build time, and no branch re-derives it."""
     from keywords4cv_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = explain_str(dedup.jaccard_verified_pairs(docs, CFG))
-    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("documents.parquet") == 0, plan
 
 
 def test_bm25_uses_broadcast_joins_and_codegen(spark, sf_dir):
