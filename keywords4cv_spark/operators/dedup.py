@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from keywords4cv_spark.config import DEFAULT_CONFIG, EngineConfig
 from keywords4cv_spark.index.build import tokenized_docs
-from keywords4cv_spark.textprep.spark_exprs import normalized_col
 
 N_BANDS = 8
 SHINGLE_W = 3
@@ -38,10 +37,22 @@ JACCARD_THRESHOLD = 0.5
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """(content_hash, rep_doc_id, n_docs) over md5 of normalized text."""
+    """(content_hash, rep_doc_id, n_docs) over md5 of normalized text.
+
+    Normalization runs through the parity-pinned Python twin (Arrow
+    UDF in worker processes) rather than the JVM regexp_replace chain:
+    JDK-17 regex serializes across threads of one JVM (the same
+    finding that moved the tokenizer — config.py), measured 2.4 s vs
+    0.7 s warm at 50k docs for this exact md5-groupBy, byte-identical
+    hashes. md5 itself stays JVM-side (codegen wins there)."""
+    from keywords4cv_spark.deploy import ensure_py_files
+    from keywords4cv_spark.textprep.udfs import make_normalize_udf
+
+    ensure_py_files(docs.sparkSession)
+    norm = make_normalize_udf()
     return (
         docs.select(
-            F.col("doc_id"), F.md5(normalized_col(F.col("text"))).alias("content_hash")
+            F.col("doc_id"), F.md5(norm(F.col("text"))).alias("content_hash")
         )
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_docs"))
