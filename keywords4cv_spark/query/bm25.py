@@ -304,11 +304,17 @@ def bm25f_topk(
     per-section keyword weighting (keywords4cv.py:3214-3221).
 
     Shape: one segment split (no shuffle), one (doc, term) and one
-    (doc) aggregation, broadcast query join, rank_topk — all JVM-side.
+    (doc) aggregation, broadcast query join, rank_topk. Segment bodies
+    tokenize through the parity-pinned Arrow Python twin — JDK-17
+    regex serializes across the JVM's threads (config.py), the same
+    finding that moved the main tokenizer.
     """
+    from keywords4cv_spark.deploy import ensure_py_files
     from keywords4cv_spark.operators.sentences import _heading_segments
-    from keywords4cv_spark.textprep.spark_exprs import tokens_col
+    from keywords4cv_spark.textprep.udfs import make_tokenize_udf
 
+    ensure_py_files(spark)
+    tok = make_tokenize_udf(cfg.min_token_len, cfg.stopwords)
     pairs = queries if queries is not None else query_term_pairs()
     qdf = local_rows(spark, pairs, "query_id long, term string")
 
@@ -319,9 +325,7 @@ def bm25f_topk(
     toks = segs.select(
         "doc_id",
         w_expr.alias("w"),
-        F.explode(
-            tokens_col(F.col("body"), cfg.min_token_len, cfg.stopwords)
-        ).alias("term"),
+        F.explode(tok(F.col("body"))).alias("term"),
     )
     wtf = toks.groupBy("doc_id", "term").agg(F.sum("w").alias("wtf"))
     wdl = toks.groupBy("doc_id").agg(F.sum("w").alias("wdl"))
