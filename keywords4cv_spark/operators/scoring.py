@@ -172,19 +172,22 @@ def reference_term_scores(
 
     Aggregated per term: (term, total_score, n_docs).
     """
+    from keywords4cv_spark.deploy import ensure_py_files
     from keywords4cv_spark.operators import expansion
     from keywords4cv_spark.operators.sections import (
         DEFAULT_WEIGHT,
         section_weight_col,
     )
     from keywords4cv_spark.operators.sentences import term_sections
-    from keywords4cv_spark.textprep.spark_exprs import tokens_col
+    from keywords4cv_spark.textprep.udfs import make_tokenize_udf
 
+    # parity-pinned Arrow tokenizer — JDK-17 regex serializes across
+    # the JVM's threads (config.py)
+    ensure_py_files(spark)
+    tok = make_tokenize_udf(cfg.min_token_len, cfg.stopwords)
     toks = docs.select(
         "doc_id",
-        F.array_distinct(
-            tokens_col(F.col("text"), cfg.min_token_len, cfg.stopwords)
-        ).alias("toks"),
+        F.array_distinct(tok(F.col("text"))).alias("toks"),
     ).persist()
     orig = toks.select("doc_id", F.explode("toks").alias("term"))
     syn = local_rows(spark, expansion.SYNONYMS, "term string, synonym string")
